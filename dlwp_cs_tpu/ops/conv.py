@@ -1,0 +1,100 @@
+"""Cubed-sphere convolution (XLA path): halo-pad then per-face-group conv.
+
+Capability parity with ``DLWP/custom.py::CubeSphereConv2D`` (SURVEY.md §2
+row 2): full Conv2D semantics (stride, dilation, bias) applied per face on the
+halo-padded tensor, with **separate kernel weights for the 4 equatorial faces
+and the 2 polar faces**.
+
+TPU-first design decisions (vs. the reference's Keras layer):
+
+* Faces are folded into the batch dimension so each weight group is a single
+  ``lax.conv_general_dilated`` call (2 conv calls total, both large and
+  MXU-friendly) instead of the reference's per-face sequential conv dispatch
+  (SURVEY.md §3.2 bottleneck list).
+* NHWC/HWIO layout, bf16-friendly; XLA lowers to MXU convolutions directly.
+* **No south-pole flip is needed**: our face charts are chirality-consistent
+  (every chart right-handed w.r.t. the outward normal — see geometry module),
+  so one polar kernel sees the same apparent orientation at both poles.  The
+  reference must flip because its face construction is not
+  chirality-consistent; this is behavioral parity achieved by construction.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from dlwp_cs_tpu.geometry.cubed_sphere import EQUATORIAL_FACES, POLAR_FACES
+from dlwp_cs_tpu.ops.padding import cs_pad
+
+__all__ = ["cs_conv", "conv_halo_width"]
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv_halo_width(kernel_size: tuple[int, int], dilation: int = 1) -> int:
+    """Halo width needed for 'same'-size output with a centered odd kernel."""
+    kh, kw = kernel_size
+    if kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError(f"cubed-sphere conv requires odd kernels, got {kernel_size}")
+    return max((kh - 1) // 2, (kw - 1) // 2) * dilation
+
+
+def _group_conv(xp, kernel, stride, dilation):
+    """Conv one face group: ``xp`` is (B, F, Hp, Wp, Cin) already padded."""
+    b, f = xp.shape[0], xp.shape[1]
+    merged = xp.reshape((b * f,) + xp.shape[2:])
+    out = lax.conv_general_dilated(
+        merged,
+        kernel,
+        window_strides=(stride, stride),
+        padding="VALID",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=merged.dtype,
+    )
+    return out.reshape((b, f) + out.shape[1:])
+
+
+def cs_conv(
+    x,
+    kernel_eq,
+    kernel_pole,
+    *,
+    bias_eq=None,
+    bias_pole=None,
+    stride: int = 1,
+    dilation: int = 1,
+):
+    """Cubed-sphere convolution with equatorial/polar weight groups.
+
+    Args:
+      x: ``(B, 6, n, n, Cin)`` channels-last input.
+      kernel_eq / kernel_pole: ``(kh, kw, Cin, Cout)`` HWIO kernels for the
+        equatorial faces (0-3) and polar faces (4-5) respectively. Pass the
+        same array for both to share weights globally.
+      bias_eq / bias_pole: optional ``(Cout,)`` biases per group.
+      stride, dilation: standard conv parameters (square).
+
+    Returns ``(B, 6, n', n', Cout)`` where ``n' = n // stride`` (the halo
+    supplies the boundary context, so output size is exactly ``n/stride``).
+    """
+    if x.ndim != 5 or x.shape[1] != 6:
+        raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
+    if kernel_eq.shape != kernel_pole.shape:
+        raise ValueError(
+            f"kernel group shapes differ: {kernel_eq.shape} vs {kernel_pole.shape}"
+        )
+    kh, kw = kernel_eq.shape[0], kernel_eq.shape[1]
+    w = conv_halo_width((kh, kw), dilation)
+    if w == 0:
+        xp = x  # 1x1 conv: no halo needed
+    else:
+        xp = cs_pad(x, w)
+    eq = _group_conv(xp[:, list(EQUATORIAL_FACES)], kernel_eq, stride, dilation)
+    pole = _group_conv(xp[:, list(POLAR_FACES)], kernel_pole, stride, dilation)
+    if bias_eq is not None:
+        eq = eq + bias_eq
+    if bias_pole is not None:
+        pole = pole + bias_pole
+    return jnp.concatenate([eq, pole], axis=1)

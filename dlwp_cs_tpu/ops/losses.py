@@ -1,0 +1,107 @@
+"""Losses and metrics.
+
+Capability parity with ``DLWP/custom.py`` losses (SURVEY.md §2 row 4):
+``latitude_weighted_loss`` (cos-lat weighting for lat-lon models),
+area-weighted MSE/MAE on the cubed sphere (cells are near- but not exactly
+equal-area; weighting by exact cell solid angles is the principled version of
+the reference's plain-MSE-on-CS choice), and the anomaly correlation metric.
+
+All functions are jittable and grad-safe; weights enter as closed-over
+constants so the loss remains a pure function of (prediction, target).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "mse",
+    "mae",
+    "weighted_mse",
+    "weighted_mae",
+    "latitude_weights",
+    "latitude_weighted_loss",
+    "anomaly_correlation",
+]
+
+
+def mse(pred, target):
+    return jnp.mean(jnp.square(pred - target))
+
+
+def mae(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def _apply_weights(err, weights):
+    """Weighted mean of ``err`` with ``weights`` broadcast over space.
+
+    ``weights`` must broadcast against ``err`` (e.g. cubed-sphere
+    ``(6, n, n)`` area weights against ``(B, 6, n, n, C)`` errors via a
+    trailing channel axis insert).
+    """
+    w = jnp.asarray(weights)
+    while w.ndim < err.ndim - 1:
+        w = w[None]
+    w = w[..., None]  # broadcast over channels
+    return jnp.sum(err * w) / (jnp.sum(jnp.broadcast_to(w, err.shape)))
+
+
+def weighted_mse(pred, target, weights):
+    """MSE weighted over spatial cells (e.g. CubedSphere.area_weights)."""
+    return _apply_weights(jnp.square(pred - target), weights)
+
+
+def weighted_mae(pred, target, weights):
+    return _apply_weights(jnp.abs(pred - target), weights)
+
+
+def latitude_weights(lats_deg) -> np.ndarray:
+    """cos(lat) weights normalized to mean 1, for lat-lon grids."""
+    w = np.cos(np.deg2rad(np.asarray(lats_deg, dtype=np.float64)))
+    w = np.clip(w, 0.0, None)
+    return w / w.mean()
+
+
+def latitude_weighted_loss(base: str, lats_deg):
+    """Closure computing cos(lat)-weighted MSE/MAE over ``(..., H, W, C)``.
+
+    Mirrors the reference's ``latitude_weighted_loss(loss_fn, lats, ...)``
+    factory: returns ``loss(pred, target)`` with the latitude axis third from
+    last.
+    """
+    w = jnp.asarray(latitude_weights(lats_deg))[:, None]
+
+    def loss(pred, target):
+        err = jnp.square(pred - target) if base == "mse" else jnp.abs(pred - target)
+        return _apply_weights(err, w)
+
+    if base not in ("mse", "mae"):
+        raise ValueError(f"base must be 'mse' or 'mae', got {base!r}")
+    return loss
+
+
+def anomaly_correlation(pred, target, climatology, weights=None, spatial_axes=None):
+    """Anomaly correlation coefficient.
+
+    ``acc = <p' t'> / sqrt(<p'^2><t'^2>)`` with anomalies w.r.t.
+    ``climatology`` and optional area weights, averaged over
+    ``spatial_axes`` (default: all but the first axis).
+    """
+    p = pred - climatology
+    t = target - climatology
+    if spatial_axes is None:
+        spatial_axes = tuple(range(1, p.ndim))
+    if weights is not None:
+        w = jnp.asarray(weights)
+        while w.ndim < p.ndim - 1:
+            w = w[None]
+        w = w[..., None]
+    else:
+        w = jnp.ones((1,) * p.ndim)
+    num = jnp.sum(w * p * t, axis=spatial_axes)
+    den = jnp.sqrt(
+        jnp.sum(w * p * p, axis=spatial_axes) * jnp.sum(w * t * t, axis=spatial_axes)
+    )
+    return num / jnp.maximum(den, 1e-12)
