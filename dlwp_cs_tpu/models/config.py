@@ -1,0 +1,132 @@
+"""Declarative configuration tree for models and experiments.
+
+Replaces the reference's string-registry layer-tuple spec
+(``DLWPNeuralNet.build_model(layers=[('LayerName', args, kwargs), ...])`` via
+``util.get_from_class`` — SURVEY.md §2 row 6, §5.6) with typed dataclasses:
+model assembly is code, config is data, and the whole tree serializes to JSON
+alongside checkpoints so a run is reproducible from its artifacts alone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+__all__ = ["UNetConfig", "DataConfig", "TrainConfig", "ExperimentConfig"]
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Cubed-sphere U-Net architecture (Weyn et al. 2020-style).
+
+    3 resolution levels by default; ``filters[i]`` is the channel width at
+    level ``i`` (level 0 = full resolution).  Each level applies
+    ``convs_per_block`` CS convolutions + activation; downsampling by
+    average pooling, upsampling by nearest-neighbor + conv, with skip
+    connections concatenated channels-wise.
+    """
+
+    output_channels: int = 8
+    filters: tuple[int, ...] = (32, 64, 128)
+    convs_per_block: int = 2
+    kernel_size: tuple[int, int] = (3, 3)
+    activation: str = "leaky_relu"
+    activation_slope: float = 0.1
+    pooling: str = "avg"  # 'avg' | 'max'
+    upsample: str = "nearest"  # 'nearest' | 'bilinear'
+    separate_polar_weights: bool = True
+    final_kernel_size: tuple[int, int] = (1, 1)
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+
+    def __post_init__(self):
+        if len(self.filters) < 1:
+            raise ValueError("filters must be non-empty")
+        if self.pooling not in ("avg", "max"):
+            raise ValueError(f"pooling must be avg|max, got {self.pooling!r}")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """What the model consumes/predicts; mirrors SeriesDataGenerator's knobs
+    (SURVEY.md §2 row 9) as static config."""
+
+    grid_n: int = 48
+    variables: tuple[str, ...] = ("z500", "z1000", "tau300-700", "t2m")
+    input_time_steps: int = 2
+    output_time_steps: int = 2
+    step_hours: float = 6.0
+    add_insolation: bool = True
+    constants: tuple[str, ...] = ("topography", "land_sea_mask")
+
+    @property
+    def n_variables(self) -> int:
+        return len(self.variables)
+
+    @property
+    def input_channels(self) -> int:
+        c = self.input_time_steps * self.n_variables
+        if self.add_insolation:
+            c += self.input_time_steps
+        c += len(self.constants)
+        return c
+
+    @property
+    def output_channels(self) -> int:
+        return self.output_time_steps * self.n_variables
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"
+    weight_decay: float = 0.0
+    max_epochs: int = 200
+    min_epochs: int = 0
+    early_stopping_patience: int = 50
+    restore_best_weights: bool = True
+    checkpoint_every_epochs: int = 1
+    area_weighted_loss: bool = False
+    loss: str = "mse"  # 'mse' | 'mae'
+    grad_clip_norm: float | None = None
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: UNetConfig = field(default_factory=UNetConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def resolved_model(self) -> UNetConfig:
+        """Model config with output_channels derived from the data config."""
+        return dataclasses.replace(
+            self.model, output_channels=self.data.output_channels
+        )
+
+    # -- (de)serialization -------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+        return cls(
+            data=_load(DataConfig, raw.get("data", {})),
+            model=_load(UNetConfig, raw.get("model", {})),
+            train=_load(TrainConfig, raw.get("train", {})),
+        )
+
+
+def _load(cls, raw: dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in raw.items():
+        if k not in fields:
+            raise ValueError(f"unknown {cls.__name__} field {k!r}")
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return cls(**kwargs)
