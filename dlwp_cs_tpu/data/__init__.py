@@ -1,0 +1,25 @@
+"""Data pipeline: stores, series windowing, prefetch, preprocessing, ERA5."""
+
+from dlwp_cs_tpu.data.channels import fold_time, pack_inputs, unfold_time
+from dlwp_cs_tpu.data.era5 import ERA5Reanalysis, read_netcdf_var
+from dlwp_cs_tpu.data.prefetch import PrefetchIterator, prefetch_to_device
+from dlwp_cs_tpu.data.preprocessing import Preprocessor
+from dlwp_cs_tpu.data.series import SeriesDataset, insolation_stats
+from dlwp_cs_tpu.data.store import H5Store, MemoryStore, open_store, write_store
+
+__all__ = [
+    "fold_time",
+    "pack_inputs",
+    "unfold_time",
+    "ERA5Reanalysis",
+    "read_netcdf_var",
+    "PrefetchIterator",
+    "prefetch_to_device",
+    "Preprocessor",
+    "SeriesDataset",
+    "insolation_stats",
+    "H5Store",
+    "MemoryStore",
+    "open_store",
+    "write_store",
+]

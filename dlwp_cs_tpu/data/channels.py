@@ -1,0 +1,63 @@
+"""Channel packing conventions: the contract between data pipeline, model
+and rollout.
+
+The reference folds (time_step, varlev) into the channel dimension inside its
+generators (``SeriesDataGenerator`` — SURVEY.md §2 row 9); the exact ordering
+is an implicit contract between generator and ``TimeSeriesEstimator``.  Here
+it is one explicit module used by both sides.
+
+Canonical input channel layout (channels-last ``(B, 6, n, n, C)``)::
+
+    [ t_0 vars... | t_1 vars... | ... | insol(t_0..t_{Tin-1}) | constants ]
+
+i.e. prognostic fields time-major-outer (channel = t * C_var + c), then one
+insolation channel per input time, then static constant channels.  Output
+channels are the prognostic fields of the predicted times, time-major-outer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["fold_time", "unfold_time", "pack_inputs"]
+
+
+def fold_time(x):
+    """``(B, T, 6, n, n, C) -> (B, 6, n, n, T*C)`` (time-major-outer)."""
+    t = x.shape[1]
+    x = jnp.moveaxis(x, 1, -2)  # (B, 6, n, n, T, C)
+    return x.reshape(x.shape[:-2] + (t * x.shape[-1],))
+
+
+def unfold_time(x, t: int):
+    """Inverse of :func:`fold_time`: ``(B, 6, n, n, T*C) -> (B, T, 6, n, n, C)``."""
+    c = x.shape[-1] // t
+    if t * c != x.shape[-1]:
+        raise ValueError(f"channels {x.shape[-1]} not divisible by time steps {t}")
+    x = x.reshape(x.shape[:-1] + (t, c))
+    return jnp.moveaxis(x, -2, 1)
+
+
+def pack_inputs(window, insol=None, constants=None):
+    """Assemble the model input tensor.
+
+    Args:
+      window: ``(B, T_in, 6, n, n, C_var)`` normalized prognostic fields.
+      insol: optional ``(B, T_in, 6, n, n)`` or ``(T_in, 6, n, n)`` normalized
+        insolation (broadcast over batch if unbatched).
+      constants: optional ``(6, n, n, K)`` normalized static fields.
+
+    Returns ``(B, 6, n, n, T_in*C_var [+ T_in] [+ K])``.
+    """
+    parts = [fold_time(window)]
+    b = window.shape[0]
+    if insol is not None:
+        if insol.ndim == 4:
+            insol = jnp.broadcast_to(insol[None], (b,) + insol.shape)
+        parts.append(fold_time(insol[..., None]))
+    if constants is not None:
+        const = jnp.broadcast_to(
+            constants[None], (b,) + constants.shape
+        )
+        parts.append(const)
+    return jnp.concatenate(parts, axis=-1)

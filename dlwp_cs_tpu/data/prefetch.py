@@ -1,0 +1,68 @@
+"""Host->device prefetching: keep the chips fed.
+
+The reference feeds batches synchronously from Keras ``Sequence`` threads with
+a host->GPU copy inside every train step (SURVEY.md §3.2 "bottlenecks").
+Here a background thread assembles batches and issues ``jax.device_put``
+ahead of consumption, so the device copy of batch k+1..k+depth overlaps the
+compute of batch k — the single-host analog of the per-host input pipelines
+of SURVEY.md §7 M4/M5.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+
+__all__ = ["prefetch_to_device", "PrefetchIterator"]
+
+
+class PrefetchIterator:
+    """Iterator wrapper with a device-put-ahead background thread."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable, *, depth: int = 2, sharding=None):
+        self._queue: queue.Queue = queue.Queue(maxsize=depth)
+        self._sharding = sharding
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._worker, args=(iterable,), daemon=True
+        )
+        self._thread.start()
+
+    def _put(self, item):
+        if self._sharding is not None:
+            return jax.device_put(item, self._sharding)
+        return jax.device_put(item)
+
+    def _worker(self, iterable):
+        try:
+            for item in iterable:
+                self._queue.put(self._put(item))
+        except BaseException as e:  # propagate into consumer
+            self._err = e
+        finally:
+            self._queue.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch_to_device(iterable, *, depth: int = 2, sharding=None):
+    """Wrap an iterable of pytrees; yields device-resident copies ``depth`` ahead.
+
+    ``sharding``: optional ``jax.sharding.Sharding`` (e.g. batch-sharded
+    NamedSharding) applied to every leaf — this is how multi-device input
+    feeding composes with the data-parallel train step.
+    """
+    return PrefetchIterator(iterable, depth=depth, sharding=sharding)

@@ -1,0 +1,195 @@
+"""Series windowing dataset: the training-batch assembler.
+
+Capability parity with the reference's ``SeriesDataGenerator`` (the workhorse
+generator, SURVEY.md §2 row 9): serves input windows ``t-(T_in-1)dt .. t`` and
+target windows ``t+dt .. t+T_out*dt``, folds time x variable into channels,
+appends computed TOA insolation channels per sample time and static constant
+channels, supports shuffling, sub-sampling interval and drop-remainder.
+
+TPU-first differences:
+
+* normalization and channel assembly are vectorized numpy on the *host*
+  (insolation via the shared formula with ``xp=numpy`` — never touching the
+  accelerator), producing device-ready ``(B, 6, n, n, C)`` arrays;
+* batches are handed to :func:`dlwp_cs_tpu.data.prefetch.prefetch_to_device`
+  which double-buffers host->device copies so the TPU never waits on input
+  (the reference's per-step Keras Sequence + host->GPU copy is its known
+  input bottleneck, SURVEY.md §3.2);
+* insolation normalization stats are computed deterministically at
+  construction (full-year sample) and exposed for the rollout engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dlwp_cs_tpu.geometry.insolation import insolation
+from dlwp_cs_tpu.models.config import DataConfig
+
+__all__ = ["SeriesDataset", "insolation_stats"]
+
+
+def insolation_stats(lat, lon, *, n_times: int = 64) -> tuple[float, float]:
+    """Deterministic (mean, std) of insolation over a year on this grid."""
+    times = np.linspace(0.0, 365.25, n_times, endpoint=False)
+    vals = insolation(times[:, None, None, None], lat, lon, xp=np)
+    return float(vals.mean()), float(vals.std())
+
+
+class SeriesDataset:
+    """Sliding-window (inputs, targets) batches from a predictor store.
+
+    Args:
+      store: MemoryStore / H5Store (``fields (T,6,n,n,C)``, ``times``,
+        ``mean``/``std``, optional ``constants``).
+      cfg: DataConfig (time steps, insolation, constants selection).
+      lat, lon: ``(6, n, n)`` radians (from ``CubedSphere.cell_latlon``).
+      batch_size: samples per batch.
+      shuffle: reshuffle sample order each epoch.
+      interval: stride (in store samples) of one model time step dt — e.g.
+        interval=2 on 3-hourly data gives dt=6h (reference's ``interval``).
+      sample_stride: stride between consecutive training samples.
+      drop_remainder: drop the final short batch (static shapes for jit).
+      scale: normalize fields with the store's mean/std.
+      seed: shuffle seed.
+    """
+
+    def __init__(
+        self,
+        store,
+        cfg: DataConfig,
+        *,
+        lat,
+        lon,
+        batch_size: int = 8,
+        shuffle: bool = False,
+        interval: int = 1,
+        sample_stride: int = 1,
+        drop_remainder: bool = True,
+        scale: bool = True,
+        seed: int = 0,
+    ):
+        self.store = store
+        self.cfg = cfg
+        self.lat = np.asarray(lat)
+        self.lon = np.asarray(lon)
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.interval = int(interval)
+        self.drop_remainder = bool(drop_remainder)
+        self.scale = bool(scale)
+        self._rng = np.random.default_rng(seed)
+
+        t_total = store.fields.shape[0]
+        span = (cfg.input_time_steps + cfg.output_time_steps - 1) * self.interval
+        if t_total <= span:
+            raise ValueError(
+                f"store has {t_total} samples; window needs > {span}"
+            )
+        self._starts = np.arange(0, t_total - span, sample_stride)
+        if cfg.add_insolation:
+            self.insol_mean, self.insol_std = insolation_stats(self.lat, self.lon)
+        else:
+            self.insol_mean, self.insol_std = 0.0, 1.0
+        self._mean = np.asarray(store.mean, np.float32)
+        self._std = np.asarray(store.std, np.float32)
+        if store.constants is not None and len(cfg.constants) > 0:
+            names = list(store.constant_names)
+            missing = [c for c in cfg.constants if c not in names]
+            if missing:
+                raise ValueError(f"constants {missing} not in store {names}")
+            idx = [names.index(c) for c in cfg.constants]
+            self.constants = np.asarray(store.constants)[..., idx]
+        else:
+            self.constants = None
+
+        # Verify the store's sampling interval is uniform (windowing assumes it).
+        dt = np.diff(np.asarray(store.times))
+        if len(dt) and not np.allclose(dt, dt[0], rtol=1e-6):
+            raise ValueError("store times are not uniformly spaced")
+        self.dt_days = float(dt[0]) * self.interval if len(dt) else 0.0
+
+    # -- size --------------------------------------------------------------
+    @property
+    def n_samples(self) -> int:
+        return len(self._starts)
+
+    def __len__(self) -> int:
+        n_batches, rem = divmod(self.n_samples, self.batch_size)
+        return n_batches if (self.drop_remainder or rem == 0) else n_batches + 1
+
+    # -- batch assembly ----------------------------------------------------
+    def _window_indices(self, starts: np.ndarray):
+        cfg = self.cfg
+        offs_in = np.arange(cfg.input_time_steps) * self.interval
+        offs_out = (
+            cfg.input_time_steps + np.arange(cfg.output_time_steps)
+        ) * self.interval
+        return starts[:, None] + offs_in[None, :], starts[:, None] + offs_out[None, :]
+
+    def _gather(self, idx2d: np.ndarray) -> np.ndarray:
+        """Fetch ``fields[idx]`` for a (B, T) index array -> (B, T, 6, n, n, C)."""
+        fields = self.store.fields
+        flat = idx2d.reshape(-1)
+        if isinstance(fields, np.ndarray):
+            out = fields[flat]
+        else:  # h5py: fancy indexing needs sorted unique indices
+            uniq, inv = np.unique(flat, return_inverse=True)
+            out = np.asarray(fields[uniq.tolist()])[inv]
+        return out.reshape(idx2d.shape + fields.shape[1:]).astype(np.float32)
+
+    def _normalize(self, x: np.ndarray) -> np.ndarray:
+        if not self.scale:
+            return x
+        return (x - self._mean) / self._std
+
+    def make_batch(self, starts: np.ndarray):
+        """Assemble one (inputs, targets) pair for the given window starts."""
+        cfg = self.cfg
+        idx_in, idx_out = self._window_indices(starts)
+        x_win = self._normalize(self._gather(idx_in))  # (B, Tin, 6, n, n, C)
+        y_win = self._normalize(self._gather(idx_out))  # (B, Tout, 6, n, n, C)
+        b, t_in = x_win.shape[:2]
+        parts = [_fold(x_win)]
+        if cfg.add_insolation:
+            times = np.asarray(self.store.times)[idx_in]  # (B, Tin)
+            ins = insolation(
+                times[..., None, None, None], self.lat, self.lon, xp=np
+            ).astype(np.float32)
+            ins = (ins - self.insol_mean) / self.insol_std
+            parts.append(_fold(ins[..., None]))
+        if self.constants is not None:
+            parts.append(
+                np.broadcast_to(
+                    self.constants[None], (b,) + self.constants.shape
+                ).astype(np.float32)
+            )
+        inputs = np.concatenate(parts, axis=-1)
+        targets = _fold(y_win)
+        return inputs, targets
+
+    def __iter__(self):
+        order = self._starts.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        stop = (
+            self.n_samples - self.n_samples % bs
+            if self.drop_remainder
+            else self.n_samples
+        )
+        for lo in range(0, stop, bs):
+            yield self.make_batch(order[lo : lo + bs])
+
+    # Valid-time helper for verification alignment.
+    def target_times(self) -> np.ndarray:
+        """(n_samples, T_out) valid times (days) of each sample's targets."""
+        _, idx_out = self._window_indices(self._starts)
+        return np.asarray(self.store.times)[idx_out]
+
+
+def _fold(x: np.ndarray) -> np.ndarray:
+    """numpy twin of data.channels.fold_time: (B,T,6,n,n,C)->(B,6,n,n,T*C)."""
+    b, t = x.shape[:2]
+    x = np.moveaxis(x, 1, -2)
+    return np.ascontiguousarray(x.reshape(x.shape[:-2] + (t * x.shape[-1],)))

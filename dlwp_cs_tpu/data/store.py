@@ -1,0 +1,161 @@
+"""Predictor stores: the canonical on-disk training data format.
+
+Capability parity with the reference's predictor netCDF files
+(``DLWP/model/preprocessing.py`` output — dims ``(sample, varlev, ...)`` with
+per-variable ``mean``/``std`` attrs; SURVEY.md §2 row 10, §3.1), redesigned
+for this stack:
+
+* HDF5 via h5py (netCDF4 files *are* HDF5, so ERA5-derived files remain
+  readable without the xarray/netCDF4 stack, which is unavailable here —
+  SURVEY.md §7a);
+* cubed-sphere layout ``(time, 6, n, n, C_var)`` channels-last, matching the
+  compute layout exactly so batch assembly is pure slicing (the reference
+  transposes/folds per batch in Python threads — a known input bottleneck,
+  SURVEY.md §3.2);
+* times stored as float64 days since 2000-01-01 (the insolation epoch);
+* normalization stats stored alongside, computed once at build time.
+
+``MemoryStore`` holds the same schema in RAM (tests, synthetic data);
+``H5Store`` is the disk format.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["MemoryStore", "H5Store", "write_store", "open_store"]
+
+
+@dataclass
+class MemoryStore:
+    """In-memory predictor store.
+
+    Attributes:
+      fields: ``(T, 6, n, n, C)`` float32 raw (unnormalized) fields.
+      times: ``(T,)`` float64 days since 2000-01-01 00 UTC.
+      variables: channel names, length C.
+      mean / std: ``(C,)`` float64 normalization stats.
+      constants: optional ``(6, n, n, K)`` float32 *normalized* static fields.
+      constant_names: length K.
+    """
+
+    fields: np.ndarray
+    times: np.ndarray
+    variables: tuple[str, ...]
+    mean: np.ndarray
+    std: np.ndarray
+    constants: np.ndarray | None = None
+    constant_names: tuple[str, ...] = ()
+    attrs: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        t, f6, n, n2, c = self.fields.shape
+        if f6 != 6 or n != n2:
+            raise ValueError(f"fields must be (T, 6, n, n, C), got {self.fields.shape}")
+        if len(self.times) != t:
+            raise ValueError("times length mismatch")
+        if len(self.variables) != c or len(self.mean) != c or len(self.std) != c:
+            raise ValueError("variables/mean/std length mismatch with channels")
+        if self.constants is not None and self.constants.shape[:3] != (6, n, n):
+            raise ValueError(f"constants must be (6, {n}, {n}, K)")
+
+    @property
+    def grid_n(self) -> int:
+        return self.fields.shape[2]
+
+    @classmethod
+    def from_raw(cls, fields, times, variables, constants=None, constant_names=(),
+                 attrs=None):
+        """Compute mean/std from the data itself (build-time normalization)."""
+        fields = np.asarray(fields, dtype=np.float32)
+        mean = fields.mean(axis=(0, 1, 2, 3), dtype=np.float64)
+        std = fields.std(axis=(0, 1, 2, 3), dtype=np.float64)
+        std = np.where(std < 1e-12, 1.0, std)
+        return cls(
+            fields=fields,
+            times=np.asarray(times, dtype=np.float64),
+            variables=tuple(variables),
+            mean=mean,
+            std=std,
+            constants=None if constants is None else np.asarray(constants, np.float32),
+            constant_names=tuple(constant_names),
+            attrs=dict(attrs or {}),
+        )
+
+
+def write_store(path, store: MemoryStore) -> Path:
+    """Write a MemoryStore to HDF5."""
+    import h5py
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "fields",
+            data=store.fields,
+            chunks=(1,) + store.fields.shape[1:],
+            compression=None,
+        )
+        f.create_dataset("times", data=store.times)
+        f.create_dataset("mean", data=store.mean)
+        f.create_dataset("std", data=store.std)
+        f.attrs["variables"] = json.dumps(list(store.variables))
+        f.attrs["attrs"] = json.dumps(store.attrs)
+        if store.constants is not None:
+            f.create_dataset("constants", data=store.constants)
+            f.attrs["constant_names"] = json.dumps(list(store.constant_names))
+    return path
+
+
+class H5Store:
+    """Lazy HDF5-backed store with the MemoryStore interface.
+
+    ``fields`` is the live h5py dataset (sliceable without loading);
+    everything small is materialized eagerly.
+    """
+
+    def __init__(self, path):
+        import h5py
+
+        self.path = Path(path)
+        self._f = h5py.File(self.path, "r")
+        self.fields = self._f["fields"]
+        self.times = np.asarray(self._f["times"])
+        self.mean = np.asarray(self._f["mean"])
+        self.std = np.asarray(self._f["std"])
+        self.variables = tuple(json.loads(self._f.attrs["variables"]))
+        self.attrs = json.loads(self._f.attrs.get("attrs", "{}"))
+        if "constants" in self._f:
+            self.constants = np.asarray(self._f["constants"])
+            self.constant_names = tuple(json.loads(self._f.attrs["constant_names"]))
+        else:
+            self.constants = None
+            self.constant_names = ()
+
+    @property
+    def grid_n(self) -> int:
+        return self.fields.shape[2]
+
+    def load(self) -> MemoryStore:
+        """Materialize fully into RAM."""
+        return MemoryStore(
+            fields=np.asarray(self.fields),
+            times=self.times,
+            variables=self.variables,
+            mean=self.mean,
+            std=self.std,
+            constants=self.constants,
+            constant_names=self.constant_names,
+            attrs=self.attrs,
+        )
+
+    def close(self):
+        self._f.close()
+
+
+def open_store(path) -> H5Store:
+    return H5Store(path)

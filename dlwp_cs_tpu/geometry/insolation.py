@@ -31,12 +31,12 @@ J2000_EPOCH = "2000-01-01T00:00:00Z"
 _DAYS_PER_YEAR = 365.25
 
 
-def _spencer_terms(day_angle):
+def _spencer_terms(day_angle, xp):
     """Declination (rad), equation of time (rad), distance factor (a/r)^2."""
     g = day_angle
-    c1, s1 = jnp.cos(g), jnp.sin(g)
-    c2, s2 = jnp.cos(2 * g), jnp.sin(2 * g)
-    c3, s3 = jnp.cos(3 * g), jnp.sin(3 * g)
+    c1, s1 = xp.cos(g), xp.sin(g)
+    c2, s2 = xp.cos(2 * g), xp.sin(2 * g)
+    c3, s3 = xp.cos(3 * g), xp.sin(3 * g)
     decl = (
         0.006918
         - 0.399912 * c1
@@ -58,7 +58,7 @@ def _spencer_terms(day_angle):
     return decl, eot, dist
 
 
-def insolation(days_since_epoch, lat, lon, *, s0: float = SOLAR_CONSTANT):
+def insolation(days_since_epoch, lat, lon, *, s0: float = SOLAR_CONSTANT, xp=jnp):
     """TOA downward solar irradiance in W/m^2.
 
     Args:
@@ -68,20 +68,24 @@ def insolation(days_since_epoch, lat, lon, *, s0: float = SOLAR_CONSTANT):
         to get ``(T, 6, n, n)``.
       lat, lon: radians; lon east-positive.
       s0: solar constant override.
+      xp: array namespace — ``jnp`` (default, traceable) or ``numpy`` for the
+        host-side data pipeline, which must never touch an accelerator.  Both
+        paths share this one formula so train-time and rollout-time forcing
+        cannot diverge.
 
     Returns ``s0 * (a/r)^2 * max(cos(zenith), 0)``, elementwise.
     """
-    d = jnp.asarray(days_since_epoch)
-    lat = jnp.asarray(lat)
-    lon = jnp.asarray(lon)
+    d = xp.asarray(days_since_epoch)
+    lat = xp.asarray(lat)
+    lon = xp.asarray(lon)
     # Day of year (1-based, J2000 starts at DOY 1) and UTC fraction-of-day.
-    doy = jnp.mod(d, _DAYS_PER_YEAR)
-    frac = jnp.mod(d, 1.0)
-    day_angle = 2.0 * jnp.pi * doy / _DAYS_PER_YEAR
-    decl, eot, dist = _spencer_terms(day_angle)
+    doy = xp.mod(d, _DAYS_PER_YEAR)
+    frac = xp.mod(d, 1.0)
+    day_angle = 2.0 * xp.pi * doy / _DAYS_PER_YEAR
+    decl, eot, dist = _spencer_terms(day_angle, xp)
     # Hour angle: solar noon at lon 0 is 12 UTC; eot shifts apparent time.
-    hour_angle = 2.0 * jnp.pi * (frac - 0.5) + lon + eot
-    cos_zen = jnp.sin(lat) * jnp.sin(decl) + jnp.cos(lat) * jnp.cos(decl) * jnp.cos(
+    hour_angle = 2.0 * xp.pi * (frac - 0.5) + lon + eot
+    cos_zen = xp.sin(lat) * xp.sin(decl) + xp.cos(lat) * xp.cos(decl) * xp.cos(
         hour_angle
     )
-    return s0 * dist * jnp.maximum(cos_zen, 0.0)
+    return s0 * dist * xp.maximum(cos_zen, 0.0)

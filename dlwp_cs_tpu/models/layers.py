@@ -41,6 +41,7 @@ class CubeSphereConv2D(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     separate_polar_weights: bool = True
+    backend: str = "auto"  # cs_conv dispatch: auto | xla | pallas | pallas_interpret
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros_init()
     dtype: jnp.dtype | None = None
@@ -81,4 +82,5 @@ class CubeSphereConv2D(nn.Module):
             bias_pole=b_pole,
             stride=self.stride,
             dilation=self.dilation,
+            backend=self.backend,
         )

@@ -63,6 +63,7 @@ class CubeSphereUNet(nn.Module):
                     features=features,
                     kernel_size=cfg.kernel_size,
                     separate_polar_weights=cfg.separate_polar_weights,
+                    backend=cfg.conv_backend,
                     dtype=dtype,
                     name=f"{name}_conv{i}",
                 )(h)
@@ -88,6 +89,7 @@ class CubeSphereUNet(nn.Module):
             features=cfg.output_channels,
             kernel_size=cfg.final_kernel_size,
             separate_polar_weights=cfg.separate_polar_weights,
+            backend=cfg.conv_backend,
             dtype=dtype,
             name="head",
         )(x)

@@ -65,6 +65,7 @@ def cs_conv(
     bias_pole=None,
     stride: int = 1,
     dilation: int = 1,
+    backend: str = "auto",
 ):
     """Cubed-sphere convolution with equatorial/polar weight groups.
 
@@ -75,6 +76,8 @@ def cs_conv(
         same array for both to share weights globally.
       bias_eq / bias_pole: optional ``(Cout,)`` biases per group.
       stride, dilation: standard conv parameters (square).
+      backend: 'auto' (fused Pallas kernel on TPU when applicable, else XLA),
+        'xla', 'pallas', or 'pallas_interpret' (CPU testing of the kernel).
 
     Returns ``(B, 6, n', n', Cout)`` where ``n' = n // stride`` (the halo
     supplies the boundary context, so output size is exactly ``n/stride``).
@@ -86,6 +89,18 @@ def cs_conv(
             f"kernel group shapes differ: {kernel_eq.shape} vs {kernel_pole.shape}"
         )
     kh, kw = kernel_eq.shape[0], kernel_eq.shape[1]
+    if backend != "xla":
+        fused = _maybe_pallas(
+            x, kernel_eq, kernel_pole, bias_eq, bias_pole, stride, dilation, backend
+        )
+        if fused is not None:
+            return fused
+        if backend in ("pallas", "pallas_interpret"):
+            raise ValueError(
+                "pallas backend requested but configuration unsupported "
+                f"(kernel={kernel_eq.shape[:2]}, stride={stride}, "
+                f"dilation={dilation}, shape={x.shape})"
+            )
     w = conv_halo_width((kh, kw), dilation)
     if w == 0:
         xp = x  # 1x1 conv: no halo needed
@@ -98,3 +113,35 @@ def cs_conv(
     if bias_pole is not None:
         pole = pole + bias_pole
     return jnp.concatenate([eq, pole], axis=1)
+
+
+def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
+    """Dispatch to the fused Pallas kernel when applicable; else None.
+
+    The fused path only exists for the single-device layout — when a
+    distributed pad implementation is installed (shard_map halo exchange),
+    the XLA path with the installed pad is used instead.
+    """
+    from dlwp_cs_tpu.ops import padding as _padding
+    from dlwp_cs_tpu.ops.pallas_conv import cs_conv3x3_pallas, pallas_supported
+
+    if _padding._PAD_IMPL.get() is not None:
+        return None
+    if not pallas_supported(x.shape, k_eq.shape[:2], stride, dilation, x.dtype):
+        return None
+    interpret = backend == "pallas_interpret"
+    if backend == "auto":
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return None
+    cout = k_eq.shape[-1]
+    zb = jnp.zeros((cout,), x.dtype)
+    return cs_conv3x3_pallas(
+        x,
+        k_eq,
+        k_pole,
+        zb if b_eq is None else b_eq,
+        zb if b_pole is None else b_pole,
+        interpret,
+    )

@@ -17,6 +17,8 @@ Array convention: channels-last ``(..., 6, H, W, C)`` with ``H == W == n``
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax.numpy as jnp
@@ -31,7 +33,28 @@ from dlwp_cs_tpu.geometry.cubed_sphere import (
     verify_edge_table,
 )
 
-__all__ = ["cs_pad", "padding_plan", "PaddingPlan"]
+__all__ = ["cs_pad", "padding_plan", "PaddingPlan", "use_pad_impl"]
+
+# Trace-time dispatch hook: the distributed (shard_map) and Pallas fused
+# implementations install themselves here so model code — which only ever
+# calls :func:`cs_pad` — runs unchanged on 1 chip, on a sharded mesh, or on
+# the fused-kernel path.
+_PAD_IMPL: contextvars.ContextVar = contextvars.ContextVar("cs_pad_impl", default=None)
+
+
+@contextlib.contextmanager
+def use_pad_impl(fn):
+    """Within this context, ``cs_pad(x, w)`` delegates to ``fn(x, w)``.
+
+    Used by ``parallel.halo`` (shard_map halo exchange) and ``ops.pallas``
+    (fused kernels); dispatch happens at trace time, so there is no runtime
+    cost inside jit.
+    """
+    token = _PAD_IMPL.set(fn)
+    try:
+        yield
+    finally:
+        _PAD_IMPL.reset(token)
 
 
 class PaddingPlan:
@@ -87,6 +110,9 @@ def cs_pad(x, width: int):
       average of the two flanking edge-ghost cells (replicate-extended), which
       is smooth for smooth fields and exact for constants.
     """
+    impl = _PAD_IMPL.get()
+    if impl is not None:
+        return impl(x, width)
     n = x.shape[-2]
     if x.shape[-3] != n or x.shape[-4] != 6:
         raise ValueError(f"expected (..., 6, n, n, C) with square faces, got {x.shape}")

@@ -1,0 +1,32 @@
+"""Distributed execution: meshes, shardings, halo exchange, sharded steps."""
+
+from dlwp_cs_tpu.parallel.halo import make_sharded_pad, sharded_cs_pad
+from dlwp_cs_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    batch_sharding,
+    batch_spatial_sharding,
+    create_mesh,
+    replicated,
+)
+from dlwp_cs_tpu.parallel.sharding import (
+    make_dp_train_step,
+    make_spatial_apply,
+    make_spatial_train_step,
+    shard_batch,
+)
+
+__all__ = [
+    "make_sharded_pad",
+    "sharded_cs_pad",
+    "DATA_AXIS",
+    "SPATIAL_AXIS",
+    "batch_sharding",
+    "batch_spatial_sharding",
+    "create_mesh",
+    "replicated",
+    "make_dp_train_step",
+    "make_spatial_apply",
+    "make_spatial_train_step",
+    "shard_batch",
+]

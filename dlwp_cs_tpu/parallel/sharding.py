@@ -1,0 +1,142 @@
+"""Sharded training steps: GSPMD data-parallel and shard_map spatial paths.
+
+Replaces the reference's entire parallelism story (a Keras ``gpus=n`` mirror,
+SURVEY.md §2 row 12) with the two TPU-native modes of SURVEY.md §7 M5/M6:
+
+* :func:`make_dp_train_step` — jit + ``NamedSharding``: batch sharded over
+  the ``data`` axis, params replicated; XLA inserts the gradient psum over
+  ICI.  This is the default scale path (pure GSPMD, no model changes).
+* :func:`make_spatial_train_step` — ``jax.shard_map`` over
+  ``('data', 'spatial')``: batch data-parallel *and* face rows domain-
+  decomposed, with the explicit halo exchange of
+  :mod:`dlwp_cs_tpu.parallel.halo` installed under every convolution.
+  Gradients/losses are ``pmean``-ed over both axes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlwp_cs_tpu.ops.padding import use_pad_impl
+from dlwp_cs_tpu.parallel.halo import make_sharded_pad
+from dlwp_cs_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    batch_sharding,
+    batch_spatial_sharding,
+    replicated,
+)
+from dlwp_cs_tpu.train.train_step import TrainState
+
+__all__ = [
+    "make_dp_train_step",
+    "make_spatial_train_step",
+    "make_spatial_apply",
+    "shard_batch",
+]
+
+
+def shard_batch(batch, mesh: Mesh, *, spatial: bool = False):
+    """Device-put a (inputs, targets) batch with the canonical sharding."""
+    maker = batch_spatial_sharding if spatial else batch_sharding
+    return jax.tree.map(
+        lambda x: jax.device_put(x, maker(mesh, ndim=x.ndim)), batch
+    )
+
+
+def make_dp_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
+    """GSPMD data-parallel train step (params replicated, batch sharded)."""
+
+    def step(state: TrainState, inputs, targets):
+        def loss_of(params):
+            return loss_fn(apply_fn(params, inputs), targets)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    rep = replicated(mesh)
+    # Shardings by pytree prefix: state replicated, batch over 'data'.
+    in_shardings = (rep, batch_sharding(mesh), batch_sharding(mesh))
+    return jax.jit(
+        step,
+        in_shardings=in_shardings,
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_spatial_train_step(
+    apply_fn, optimizer, loss_fn, mesh: Mesh, *, jit: bool = True
+):
+    """shard_map train step: batch over 'data', face rows over 'spatial'.
+
+    ``loss_fn`` must be an unweighted elementwise-mean loss (mse/mae); the
+    local means are ``pmean``-combined, which is exact because every shard
+    holds the same number of elements.
+    """
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    axes = (DATA_AXIS, SPATIAL_AXIS)
+    pad_impl = make_sharded_pad(n_spatial)
+
+    def local_step(state: TrainState, inputs, targets):
+        def loss_of(params):
+            with use_pad_impl(pad_impl):
+                pred = apply_fn(params, inputs)
+            return loss_fn(pred, targets)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        loss = lax.pmean(loss, axes)
+        grads = lax.pmean(grads, axes)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    batch_spec = P(DATA_AXIS, None, SPATIAL_AXIS, None, None)
+    state_spec = P()
+    stepped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, batch_spec),
+        out_specs=(state_spec, state_spec),
+        check_vma=False,
+    )
+    if not jit:
+        return stepped
+    return jax.jit(stepped, donate_argnums=(0,))
+
+
+def make_spatial_apply(apply_fn, mesh: Mesh, *, jit: bool = True):
+    """Sharded forward pass: ``f(params, inputs) -> outputs`` under shard_map.
+
+    Used by the sharded rollout and by the sharding-equivalence tests.
+    """
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    pad_impl = make_sharded_pad(n_spatial)
+
+    def local_apply(params, inputs):
+        with use_pad_impl(pad_impl):
+            return apply_fn(params, inputs)
+
+    spec = P(DATA_AXIS, None, SPATIAL_AXIS, None, None)
+    fn = jax.shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn) if jit else fn

@@ -1,0 +1,5 @@
+"""Plotting helpers."""
+
+from dlwp_cs_tpu.plot.maps import plot_cube_faces, plot_error_curves, plot_history
+
+__all__ = ["plot_cube_faces", "plot_error_curves", "plot_history"]

@@ -1,0 +1,149 @@
+"""Autoregressive forecasting as one on-device ``lax.scan``.
+
+Capability parity with the reference's
+``DLWP/model/extensions.py::TimeSeriesEstimator`` (SURVEY.md §2 row 11,
+§3.3): feed the model's multi-step outputs back as the next inputs, recompute
+the insolation forcing channels at each new valid time, and hold constant
+fields fixed.
+
+TPU-first redesign: the reference drives this loop from the host — one
+``model.predict`` device round-trip *per step* plus host-side numpy
+insolation.  Here the entire 56-step (14-day) rollout compiles to a single
+``lax.scan``: state (the sliding input window and the clock) never leaves the
+device, insolation is computed in-graph (:mod:`dlwp_cs_tpu.geometry
+.insolation`), and the whole forecast is one XLA executable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dlwp_cs_tpu.data.channels import pack_inputs, unfold_time
+from dlwp_cs_tpu.geometry.insolation import insolation
+from dlwp_cs_tpu.models.config import DataConfig
+
+__all__ = ["Forecast", "TimeSeriesEstimator", "make_rollout_fn"]
+
+
+class Forecast(NamedTuple):
+    """Rollout result.
+
+    ``fields``: ``(B, steps * T_out, 6, n, n, C_var)`` normalized prognostic
+    forecasts, time ordered.
+    ``lead_hours``: ``(steps * T_out,)`` forecast lead times in hours.
+    """
+
+    fields: jnp.ndarray
+    lead_hours: jnp.ndarray
+
+
+def make_rollout_fn(
+    apply_fn,
+    data_cfg: DataConfig,
+    *,
+    lat,
+    lon,
+    constants=None,
+    insol_mean: float = 0.0,
+    insol_std: float = 1.0,
+    steps: int,
+    unroll: int = 1,
+):
+    """Build a jittable ``rollout(params, window, t0_days) -> Forecast``.
+
+    Args:
+      apply_fn: ``apply_fn(params, inputs) -> outputs`` (the model).
+      data_cfg: channel/time-step configuration.
+      lat, lon: ``(6, n, n)`` cell-center coordinates in radians.
+      constants: optional ``(6, n, n, K)`` normalized static channels.
+      insol_mean / insol_std: normalization stats for the insolation channel
+        (from the training pipeline).
+      steps: number of autoregressive model calls.
+      unroll: lax.scan unroll factor (TPU pipelining knob).
+
+    The initial ``window`` is ``(B, T_in, 6, n, n, C_var)`` holding fields at
+    valid times ``t0 - (T_in-1)*dt .. t0`` (normalized), matching the
+    training-time input window semantics.
+    """
+    t_in = data_cfg.input_time_steps
+    t_out = data_cfg.output_time_steps
+    dt_days = data_cfg.step_hours / 24.0
+    lat = jnp.asarray(lat)
+    lon = jnp.asarray(lon)
+    if constants is not None:
+        constants = jnp.asarray(constants)
+
+    def input_insolation(t_days):
+        """Normalized insolation channels for the input window ending at t."""
+        if not data_cfg.add_insolation:
+            return None
+        offsets = (jnp.arange(t_in) - (t_in - 1)) * dt_days
+        times = t_days + offsets
+        ins = insolation(times[:, None, None, None], lat, lon)
+        return (ins - insol_mean) / insol_std
+
+    def rollout(params, window, t0_days) -> Forecast:
+        if window.ndim != 6 or window.shape[1] != t_in:
+            raise ValueError(
+                f"window must be (B, {t_in}, 6, n, n, C), got {window.shape}"
+            )
+
+        def scan_step(carry, _):
+            window, t_days = carry
+            inputs = pack_inputs(window, input_insolation(t_days), constants)
+            out = apply_fn(params, inputs)
+            out_window = unfold_time(out, t_out)  # (B, T_out, 6, n, n, C)
+            new_window = jnp.concatenate([window, out_window], axis=1)[:, -t_in:]
+            return (new_window, t_days + t_out * dt_days), out_window
+
+        t0_days = jnp.asarray(t0_days, jnp.float32)
+        (_, _), outs = lax.scan(
+            scan_step, (window, t0_days), None, length=steps, unroll=unroll
+        )
+        # outs: (steps, B, T_out, 6, n, n, C) -> (B, steps*T_out, ...)
+        outs = jnp.moveaxis(outs, 1, 0)
+        fields = outs.reshape(
+            (outs.shape[0], steps * t_out) + outs.shape[3:]
+        )
+        lead = (jnp.arange(steps * t_out) + 1) * data_cfg.step_hours
+        return Forecast(fields=fields, lead_hours=lead)
+
+    return rollout
+
+
+@dataclass
+class TimeSeriesEstimator:
+    """Object-style wrapper mirroring the reference's estimator API.
+
+    ``TimeSeriesEstimator(model, params, data_cfg, lat=..., lon=...,
+    constants=..., ...).predict(window, t0_days, steps=56)``.
+    """
+
+    apply_fn: Any
+    params: Any
+    data_cfg: DataConfig
+    lat: Any
+    lon: Any
+    constants: Any = None
+    insol_mean: float = 0.0
+    insol_std: float = 1.0
+
+    def predict(self, window, t0_days, *, steps: int, jit: bool = True) -> Forecast:
+        fn = make_rollout_fn(
+            self.apply_fn,
+            self.data_cfg,
+            lat=self.lat,
+            lon=self.lon,
+            constants=self.constants,
+            insol_mean=self.insol_mean,
+            insol_std=self.insol_std,
+            steps=steps,
+        )
+        if jit:
+            fn = jax.jit(fn)
+        return fn(self.params, window, t0_days)

@@ -1,0 +1,23 @@
+"""Training: jitted step, optimizer wiring, trainer loop, early stopping."""
+
+from dlwp_cs_tpu.train.train_step import (
+    TrainState,
+    init_state,
+    make_eval_step,
+    make_loss_fn,
+    make_optimizer,
+    make_train_step,
+)
+from dlwp_cs_tpu.train.trainer import EarlyStoppingMin, History, Trainer
+
+__all__ = [
+    "TrainState",
+    "init_state",
+    "make_eval_step",
+    "make_loss_fn",
+    "make_optimizer",
+    "make_train_step",
+    "EarlyStoppingMin",
+    "History",
+    "Trainer",
+]

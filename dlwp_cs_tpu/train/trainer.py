@@ -1,0 +1,200 @@
+"""Epoch-level training loop with callbacks-equivalents.
+
+Capability parity with the reference's Keras ``fit``/callback stack
+(SURVEY.md §2 row 5): ``EarlyStoppingMin`` (early stopping with a minimum
+epoch floor and best-weights restore), ``SaveWeightsOnEpoch`` (periodic
+checkpointing), and ``History``/``BatchHistory`` (metric records) — but
+implemented as plain Python around a jitted step function, with structured
+jsonl metric logging and an optional jax profiler capture window
+(SURVEY.md §5.1, §5.5).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from dlwp_cs_tpu.models.config import TrainConfig
+from dlwp_cs_tpu.train.train_step import (
+    TrainState,
+    init_state,
+    make_eval_step,
+    make_loss_fn,
+    make_optimizer,
+    make_train_step,
+)
+
+__all__ = ["Trainer", "EarlyStoppingMin", "History"]
+
+
+@dataclass
+class EarlyStoppingMin:
+    """Early stopping with a minimum-epochs floor and best-weights tracking.
+
+    Mirrors the reference's ``EarlyStoppingMin`` Keras callback: never stop
+    before ``min_epochs``; stop after ``patience`` epochs without
+    improvement; optionally restore the best parameters on stop.
+    """
+
+    patience: int = 50
+    min_epochs: int = 0
+    min_delta: float = 0.0
+    best: float = float("inf")
+    best_params: Any = None
+    wait: int = 0
+
+    def update(self, epoch: int, value: float, params) -> bool:
+        """Record an epoch's monitored value; returns True to stop."""
+        if value < self.best - self.min_delta:
+            self.best = value
+            self.best_params = params
+            self.wait = 0
+        else:
+            self.wait += 1
+        return epoch + 1 >= self.min_epochs and self.wait >= self.patience
+
+
+@dataclass
+class History:
+    """Per-epoch and per-step metric records (the Keras History analog)."""
+
+    epochs: list[dict] = field(default_factory=list)
+    steps: list[dict] = field(default_factory=list)
+
+
+class Trainer:
+    """Drives training of a flax model over an iterable data source.
+
+    Args:
+      model: flax module with ``apply``.
+      cfg: TrainConfig.
+      area_weights: optional (6, n, n) weights for area-weighted loss.
+      workdir: if set, writes ``metrics.jsonl`` and periodic orbax
+        checkpoints under it.
+      profile_steps: if ``(start, stop)``, captures a jax profiler trace of
+        those global steps into ``workdir/profile``.
+    """
+
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        *,
+        area_weights=None,
+        workdir: str | Path | None = None,
+        profile_steps: tuple[int, int] | None = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.optimizer = make_optimizer(cfg)
+        self.loss_fn = make_loss_fn(cfg, area_weights)
+        self.train_step = make_train_step(model.apply, self.optimizer, self.loss_fn)
+        self.eval_step = make_eval_step(model.apply, self.loss_fn)
+        self.workdir = Path(workdir) if workdir is not None else None
+        self.profile_steps = profile_steps
+        self.history = History()
+        self._metrics_file = None
+        if self.workdir is not None:
+            self.workdir.mkdir(parents=True, exist_ok=True)
+            self._metrics_file = (self.workdir / "metrics.jsonl").open("a")
+
+    # -- lifecycle ---------------------------------------------------------
+    def init(self, sample_inputs, seed: int | None = None) -> TrainState:
+        seed = self.cfg.seed if seed is None else seed
+        params = self.model.init(jax.random.PRNGKey(seed), sample_inputs)
+        return init_state(params, self.optimizer)
+
+    def _log(self, record: dict) -> None:
+        if self._metrics_file is not None:
+            self._metrics_file.write(json.dumps(record) + "\n")
+            self._metrics_file.flush()
+
+    def _checkpoint(self, state: TrainState, epoch: int) -> None:
+        if self.workdir is None:
+            return
+        from dlwp_cs_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(self.workdir / "checkpoints", state, step=epoch)
+
+    # -- main loop ---------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_data,
+        *,
+        val_data=None,
+        epochs: int | None = None,
+        verbose: bool = True,
+    ) -> TrainState:
+        """Train; ``train_data``/``val_data`` are callables returning an
+        iterable of (inputs, targets) per epoch (or plain reiterable
+        iterables)."""
+        cfg = self.cfg
+        epochs = cfg.max_epochs if epochs is None else epochs
+        stopper = EarlyStoppingMin(
+            patience=cfg.early_stopping_patience, min_epochs=cfg.min_epochs
+        )
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            losses = []
+            for inputs, targets in _epoch_iter(train_data):
+                gstep = int(state.step)
+                if self.profile_steps is not None and gstep == self.profile_steps[0]:
+                    jax.profiler.start_trace(str(self.workdir / "profile"))
+                state, metrics = self.train_step(state, inputs, targets)
+                if self.profile_steps is not None and gstep == self.profile_steps[1]:
+                    jax.profiler.stop_trace()
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                rec = {
+                    "kind": "step",
+                    "step": gstep,
+                    "loss": loss,
+                    "grad_norm": float(metrics["grad_norm"]),
+                }
+                self.history.steps.append(rec)
+                self._log(rec)
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+            val_loss = None
+            if val_data is not None:
+                vlosses = [
+                    float(self.eval_step(state.params, vi, vt)["loss"])
+                    for vi, vt in _epoch_iter(val_data)
+                ]
+                val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+            dt = time.perf_counter() - t0
+            rec = {
+                "kind": "epoch",
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "seconds": dt,
+            }
+            self.history.epochs.append(rec)
+            self._log(rec)
+            if verbose:
+                msg = f"epoch {epoch}: train_loss={train_loss:.6f}"
+                if val_loss is not None:
+                    msg += f" val_loss={val_loss:.6f}"
+                print(msg + f" ({dt:.1f}s)")
+            if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+                self._checkpoint(state, epoch)
+            monitored = train_loss if val_loss is None else val_loss
+            if stopper.update(epoch, monitored, state.params):
+                if verbose:
+                    print(f"early stopping at epoch {epoch} (best={stopper.best:.6f})")
+                break
+        if cfg.restore_best_weights and stopper.best_params is not None:
+            state = TrainState(stopper.best_params, state.opt_state, state.step)
+        return state
+
+
+def _epoch_iter(data):
+    """Accept either an iterable of batches or a zero-arg callable yielding one."""
+    return data() if callable(data) else data

@@ -1,0 +1,17 @@
+"""Utilities: checkpointing, json IO."""
+
+from dlwp_cs_tpu.utils.checkpoint import (
+    latest_step,
+    load_json,
+    restore_checkpoint,
+    save_checkpoint,
+    save_json,
+)
+
+__all__ = [
+    "latest_step",
+    "load_json",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "save_json",
+]

@@ -1,0 +1,87 @@
+"""Orbax checkpointing: the reference's save/load, done right.
+
+Capability parity with ``DLWP/util.py::save_model / load_model`` and the
+``SaveWeightsOnEpoch`` callback (SURVEY.md §2 rows 5, 16; §3.4).  The
+reference pickles its wrapper object and stores Keras h5 weights, requiring a
+``custom_objects`` registry at load time — fragile across versions.  Here the
+model is a pure pytree, so a checkpoint is just
+``{state: TrainState pytree, config: json, extras: json-able dict}`` written
+with orbax (async-capable, reshardable on restore across host counts).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "save_json",
+    "load_json",
+]
+
+
+def _root(path) -> Path:
+    return Path(path).absolute()
+
+
+def save_checkpoint(path, state, *, step: int, extras: dict | None = None) -> Path:
+    """Write ``state`` (any pytree) under ``path/step_{step}``; returns dir."""
+    root = _root(path)
+    root.mkdir(parents=True, exist_ok=True)
+    target = root / f"step_{step}"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(target / "state", state, force=True)
+    if extras is not None:
+        save_json(target / "extras.json", extras)
+    return target
+
+
+def restore_checkpoint(path, target_state, *, step: int | None = None):
+    """Restore the pytree saved by :func:`save_checkpoint`.
+
+    ``target_state``: a pytree of the same structure (e.g. a freshly-inited
+    TrainState) used as the abstract template, so restoration reshards onto
+    whatever device mesh the template's arrays live on.
+    Returns ``(state, extras_dict_or_None)``.
+    """
+    root = _root(path)
+    if step is None:
+        step = latest_step(root)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {root}")
+    target = root / f"step_{step}"
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(target / "state", target_state)
+    extras_path = target / "extras.json"
+    extras = load_json(extras_path) if extras_path.exists() else None
+    return state, extras
+
+
+def latest_step(path) -> int | None:
+    root = _root(path)
+    if not root.exists():
+        return None
+    steps = []
+    for p in root.iterdir():
+        if p.is_dir() and p.name.startswith("step_"):
+            try:
+                steps.append(int(p.name.split("_", 1)[1]))
+            except ValueError:
+                continue
+    return max(steps) if steps else None
+
+
+def save_json(path, obj: Any) -> None:
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(obj, indent=2))
+
+
+def load_json(path) -> Any:
+    return json.loads(Path(path).read_text())

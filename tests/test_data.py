@@ -1,0 +1,233 @@
+"""Data pipeline tests: store, series windowing, prefetch, preprocessing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dlwp_cs_tpu.data import (
+    MemoryStore,
+    Preprocessor,
+    SeriesDataset,
+    insolation_stats,
+    open_store,
+    prefetch_to_device,
+    write_store,
+)
+from dlwp_cs_tpu.geometry import CubedSphere, insolation
+from dlwp_cs_tpu.models import DataConfig
+
+N = 6
+T = 40
+CVAR = 2
+
+
+def _store(t=T, seed=0, constants=True):
+    rng = np.random.default_rng(seed)
+    fields = rng.normal(size=(t, 6, N, N, CVAR)).astype(np.float32) * 5 + 3
+    times = np.arange(t) * 0.25  # 6-hourly
+    consts = rng.normal(size=(6, N, N, 2)).astype(np.float32) if constants else None
+    return MemoryStore.from_raw(
+        fields,
+        times,
+        ("z500", "z1000"),
+        constants=consts,
+        constant_names=("topo", "lsm") if constants else (),
+    )
+
+
+def _dataset(store=None, **kw):
+    store = store or _store()
+    cs = CubedSphere(N)
+    lat, lon = cs.cell_latlon
+    cfg = kw.pop(
+        "cfg",
+        DataConfig(
+            grid_n=N,
+            variables=("z500", "z1000"),
+            input_time_steps=2,
+            output_time_steps=2,
+            add_insolation=True,
+            constants=("topo", "lsm"),
+        ),
+    )
+    return SeriesDataset(store, cfg, lat=lat, lon=lon, batch_size=4, **kw)
+
+
+class TestStore:
+    def test_from_raw_stats(self):
+        s = _store()
+        assert s.mean.shape == (CVAR,)
+        assert np.all(s.std > 0)
+        assert s.grid_n == N
+
+    def test_h5_roundtrip(self, tmp_path):
+        s = _store()
+        p = write_store(tmp_path / "store.h5", s)
+        back = open_store(p)
+        np.testing.assert_array_equal(np.asarray(back.fields), s.fields)
+        np.testing.assert_array_equal(back.times, s.times)
+        assert back.variables == s.variables
+        np.testing.assert_array_equal(back.constants, s.constants)
+        m = back.load()
+        assert isinstance(m, MemoryStore)
+        back.close()
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            MemoryStore.from_raw(
+                np.zeros((4, 5, N, N, 1), np.float32), np.arange(4), ("x",)
+            )
+
+
+class TestSeriesDataset:
+    def test_batch_shapes_and_channel_count(self):
+        ds = _dataset()
+        x, y = next(iter(ds))
+        assert x.shape == (4, 6, N, N, 2 * CVAR + 2 + 2)
+        assert y.shape == (4, 6, N, N, 2 * CVAR)
+        assert x.dtype == np.float32
+
+    def test_normalization_applied(self):
+        ds = _dataset()
+        x, y = next(iter(ds))
+        # normalized prognostic channels should be ~N(0,1), raw were ~N(3,5)
+        assert abs(float(x[..., :CVAR].mean())) < 0.5
+        assert 0.5 < float(x[..., :CVAR].std()) < 2.0
+
+    def test_targets_shifted_from_inputs(self):
+        store = _store()
+        ds = _dataset(store)
+        x, y = ds.make_batch(np.array([0]))
+        # target t0 channel equals normalized store field at index 2
+        expect = (store.fields[2] - store.mean) / store.std
+        np.testing.assert_allclose(
+            y[0, ..., :CVAR], expect.astype(np.float32), rtol=1e-5, atol=1e-5
+        )
+        # input t0 = store index 0, t1 = index 1 (time-major folding)
+        expect0 = (store.fields[0] - store.mean) / store.std
+        np.testing.assert_allclose(
+            x[0, ..., :CVAR], expect0.astype(np.float32), rtol=1e-5, atol=1e-5
+        )
+
+    def test_insolation_channels_match_formula(self):
+        store = _store()
+        ds = _dataset(store)
+        x, _ = ds.make_batch(np.array([5]))
+        cs = CubedSphere(N)
+        lat, lon = cs.cell_latlon
+        t0 = store.times[5]
+        ins = (np.asarray(insolation(t0, lat, lon, xp=np)) - ds.insol_mean) / ds.insol_std
+        np.testing.assert_allclose(x[0, ..., 2 * CVAR], ins, rtol=1e-4, atol=1e-4)
+
+    def test_interval_subsampling(self):
+        store = _store()
+        ds = _dataset(store, interval=2)
+        x, y = ds.make_batch(np.array([0]))
+        expect = (store.fields[4] - store.mean) / store.std  # first target at idx 4
+        np.testing.assert_allclose(
+            y[0, ..., :CVAR], expect.astype(np.float32), rtol=1e-5, atol=1e-5
+        )
+        assert ds.dt_days == pytest.approx(0.5)
+
+    def test_shuffle_determinism_and_coverage(self):
+        ds1 = _dataset(shuffle=True, seed=7)
+        ds2 = _dataset(shuffle=True, seed=7)
+        b1 = [x.sum() for x, _ in ds1]
+        b2 = [x.sum() for x, _ in ds2]
+        np.testing.assert_allclose(b1, b2)
+
+    def test_len_and_drop_remainder(self):
+        ds = _dataset(drop_remainder=True)
+        n_batches = len(ds)
+        assert n_batches == ds.n_samples // 4
+        assert len(list(iter(ds))) == n_batches
+
+    def test_too_short_store_rejected(self):
+        with pytest.raises(ValueError):
+            _dataset(_store(t=3))
+
+    def test_missing_constant_rejected(self):
+        cfg = DataConfig(
+            grid_n=N,
+            variables=("z500", "z1000"),
+            constants=("glacier_mask",),
+        )
+        with pytest.raises(ValueError):
+            _dataset(cfg=cfg)
+
+    def test_h5_backed_dataset(self, tmp_path):
+        p = write_store(tmp_path / "s.h5", _store())
+        back = open_store(p)
+        ds = _dataset(back)
+        x, y = next(iter(ds))
+        assert np.isfinite(x).all() and np.isfinite(y).all()
+        back.close()
+
+    def test_insolation_stats_sane(self):
+        cs = CubedSphere(N)
+        lat, lon = cs.cell_latlon
+        m, s = insolation_stats(lat, lon)
+        # global annual mean TOA insolation is ~ S0/4 ~ 340 W/m2
+        assert 300 < m < 380
+        assert 300 < s < 500
+
+
+class TestPrefetch:
+    def test_order_and_device(self):
+        batches = [(np.full((2, 2), i), np.full((2,), i)) for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), depth=2))
+        assert len(out) == 5
+        for i, (x, y) in enumerate(out):
+            assert isinstance(x, jnp.ndarray)
+            assert float(x[0, 0]) == i
+
+    def test_error_propagates(self):
+        def gen():
+            yield (np.zeros(2),)
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(gen(), depth=1)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            for _ in it:
+                pass
+
+
+class TestPreprocessor:
+    def test_end_to_end_store_build(self, tmp_path):
+        h, w, t = 19, 36, 8
+        lats = -np.pi / 2 + (np.arange(h) + 0.5) * np.pi / h
+        lons = (np.arange(w) + 0.5) * 2 * np.pi / w
+        glat, glon = np.meshgrid(lats, lons, indexing="ij")
+        base = np.sin(glat)[None] * np.cos(glon)[None]
+        sources = {
+            "z500": base * np.ones((t, 1, 1)) + 5.0,
+            "t2m": base * 2.0 * np.ones((t, 1, 1)),
+        }
+        topo = np.cos(glat)
+        pre = Preprocessor(sources, lats, lons, np.arange(t) * 0.25)
+        store = pre.data_to_series(
+            8,
+            constant_sources={"topography": topo},
+            path=tmp_path / "cs.h5",
+        )
+        assert store.fields.shape == (t, 6, 8, 8, 2)
+        assert store.constant_names == ("topography",)
+        # smooth field sampled on CS should stay within source range
+        assert store.fields[..., 0].min() > 3.9
+        assert store.fields[..., 0].max() < 6.1
+        assert (tmp_path / "cs.h5").exists()
+
+    def test_bad_inputs(self):
+        lats = np.linspace(-1.5, 1.5, 4)
+        lons = np.linspace(0, 6, 8)
+        with pytest.raises(ValueError):
+            Preprocessor({}, lats, lons, np.arange(3))
+        with pytest.raises(ValueError):
+            Preprocessor(
+                {"x": np.zeros((3, 5, 8))}, lats, lons, np.arange(3)
+            )
+        pre = Preprocessor({"x": np.zeros((3, 4, 8))}, lats, lons, np.arange(3))
+        with pytest.raises(ValueError):
+            pre.data_to_series(8, variables=["nope"])

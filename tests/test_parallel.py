@@ -1,0 +1,160 @@
+"""Sharding equivalence tests on the virtual 8-device CPU mesh
+(SURVEY.md §4.4): 1-device vs N-device outputs must agree."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlwp_cs_tpu.geometry import CubedSphere
+from dlwp_cs_tpu.models import CubeSphereUNet, TrainConfig, UNetConfig
+from dlwp_cs_tpu.ops import cs_pad, mse
+from dlwp_cs_tpu.parallel import (
+    create_mesh,
+    make_dp_train_step,
+    make_spatial_apply,
+    make_spatial_train_step,
+    shard_batch,
+)
+from dlwp_cs_tpu.train import init_state, make_optimizer, make_train_step
+
+N = 16
+
+
+def _copy(tree):
+    # train steps donate their state; give each state its own buffers
+    return jax.tree.map(jnp.copy, tree)
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+    )
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+class TestShardedPad:
+    @pytest.mark.parametrize("spatial,width", [(2, 1), (4, 1), (4, 2), (8, 2)])
+    def test_matches_single_device(self, eight_devices, spatial, width):
+        from dlwp_cs_tpu.parallel.halo import sharded_cs_pad
+        from jax.sharding import PartitionSpec as P
+
+        mesh = create_mesh(data=1, spatial=spatial)
+        x = _rand((2, 6, N, N, 3), seed=1)
+        ref = np.asarray(cs_pad(x, width))
+        w = width
+
+        fn = jax.jit(
+            jax.shard_map(
+                lambda xl: sharded_cs_pad(xl, w, n_shards=spatial),
+                mesh=mesh,
+                in_specs=P(None, None, "spatial", None, None),
+                out_specs=P(None, None, "spatial", None, None),
+                check_vma=False,
+            )
+        )
+        out = np.asarray(fn(x))
+        # Sharded output stacks local padded blocks along rows: block s holds
+        # padded rows of band s. Compare band-by-band against the reference.
+        h = N // spatial
+        assert out.shape == (2, 6, N + spatial * 2 * w, N + 2 * w, 3)
+        for s in range(spatial):
+            local = out[:, :, s * (h + 2 * w) : (s + 1) * (h + 2 * w)]
+            lo = s * h
+            # rows of the global padded array covering band s incl. halos
+            expect = ref[:, :, lo : lo + h + 2 * w, :]
+            np.testing.assert_allclose(local, expect, atol=1e-6, err_msg=f"band {s}")
+
+    def test_bad_width_rejected(self, eight_devices):
+        from dlwp_cs_tpu.parallel.halo import sharded_cs_pad
+        from jax.sharding import PartitionSpec as P
+
+        mesh = create_mesh(data=1, spatial=8)
+        x = _rand((1, 6, N, N, 1))
+        with pytest.raises(ValueError):
+            jax.shard_map(
+                lambda xl: sharded_cs_pad(xl, 3, n_shards=8),  # w > h = 2
+                mesh=mesh,
+                in_specs=P(None, None, "spatial", None, None),
+                out_specs=P(None, None, "spatial", None, None),
+                check_vma=False,
+            )(x)
+
+
+class TestShardedModel:
+    def _setup(self, seed=0):
+        cfg = UNetConfig(output_channels=2, filters=(4, 8))
+        model = CubeSphereUNet(cfg)
+        x = _rand((4, 6, N, N, 3), seed=seed)
+        params = model.init(jax.random.PRNGKey(0), x)
+        return model, params, x
+
+    def test_spatial_apply_matches_single(self, eight_devices):
+        model, params, x = self._setup()
+        ref = np.asarray(model.apply(params, x))
+        mesh = create_mesh(data=2, spatial=4)
+        fn = make_spatial_apply(model.apply, mesh)
+        out = np.asarray(fn(params, x))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_dp_step_matches_single(self, eight_devices):
+        cfg = UNetConfig(output_channels=2, filters=(4, 8))
+        model = CubeSphereUNet(cfg)
+        x = _rand((8, 6, N, N, 3), seed=0)
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = _rand((8, 6, N, N, 2), seed=5)
+        tcfg = TrainConfig(learning_rate=1e-3)
+        opt = make_optimizer(tcfg)
+
+        ref_step = make_train_step(model.apply, opt, mse)
+        ref_state, ref_m = ref_step(init_state(_copy(params), opt), x, y)
+
+        mesh = create_mesh(data=8, spatial=1)
+        dp_step = make_dp_train_step(model.apply, opt, mse, mesh)
+        state = init_state(_copy(params), opt)
+        state, m = dp_step(state, *shard_batch((x, y), mesh))
+        assert float(m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(ref_state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_spatial_step_matches_single(self, eight_devices):
+        model, params, x = self._setup()
+        y = _rand((4, 6, N, N, 2), seed=5)
+        tcfg = TrainConfig(learning_rate=1e-3)
+        opt = make_optimizer(tcfg)
+
+        ref_step = make_train_step(model.apply, opt, mse)
+        ref_state, ref_m = ref_step(init_state(_copy(params), opt), x, y)
+
+        mesh = create_mesh(data=2, spatial=4)
+        sp_step = make_spatial_train_step(model.apply, opt, mse, mesh)
+        state, m = sp_step(init_state(_copy(params), opt), x, y)
+        assert float(m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-4)
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(ref_state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_multi_step_training_stays_equivalent(self, eight_devices):
+        model, params, x = self._setup()
+        y = 0.3 * x[..., :2]
+        tcfg = TrainConfig(learning_rate=1e-2)
+        opt = make_optimizer(tcfg)
+        ref_step = make_train_step(model.apply, opt, mse)
+        mesh = create_mesh(data=2, spatial=4)
+        sp_step = make_spatial_train_step(model.apply, opt, mse, mesh)
+        s1 = init_state(_copy(params), opt)
+        s2 = init_state(_copy(params), opt)
+        for _ in range(3):
+            s1, m1 = ref_step(s1, x, y)
+            s2, m2 = sp_step(s2, x, y)
+        assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-3)
