@@ -7,6 +7,12 @@ from dlwp_cs_tpu.remap.apply import (
     remap_ll_to_cs,
     to_faces,
 )
+from dlwp_cs_tpu.remap.native import (
+    build_csremap,
+    conservative_weights,
+    load_csremap,
+    run_csremap,
+)
 from dlwp_cs_tpu.remap.weights import (
     RemapWeights,
     cs_to_ll_weights,
@@ -21,6 +27,10 @@ __all__ = [
     "remap_ll_to_cs",
     "to_faces",
     "RemapWeights",
+    "build_csremap",
+    "conservative_weights",
+    "load_csremap",
+    "run_csremap",
     "cs_to_ll_weights",
     "latlon_grid",
     "ll_to_cs_weights",

@@ -1,0 +1,125 @@
+"""Driver for the first-party C++ conservative remap weight generator.
+
+Role parity with the reference's ``CubeSphereRemap`` TempestRemap wrapper
+(``DLWP/remap/cubesphere.py`` — SURVEY.md §2 row 15): build/locate the native
+binary, run it per (direction, grids), and load the resulting sparse map.
+Unlike the reference, map *application* never goes through the binary — the
+weights feed :mod:`dlwp_cs_tpu.remap.apply`'s on-device JAX contraction.
+
+The generator produces first-order conservative weights (exact sub-cell
+solid-angle partition of every target cell); rows sum to 1 exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from dlwp_cs_tpu.remap.weights import RemapWeights
+
+__all__ = ["build_csremap", "run_csremap", "load_csremap", "conservative_weights"]
+
+_TOOL_DIR = Path(__file__).resolve().parents[2] / "tools" / "csremap"
+
+
+def build_csremap(*, force: bool = False) -> Path:
+    """Compile tools/csremap (make); returns the binary path."""
+    binary = _TOOL_DIR / "csremap"
+    if binary.exists() and not force:
+        return binary
+    subprocess.run(
+        ["make", "-C", str(_TOOL_DIR)] + (["--always-make"] if force else []),
+        check=True,
+        capture_output=True,
+    )
+    if not binary.exists():
+        raise RuntimeError(f"build produced no binary at {binary}")
+    return binary
+
+
+def run_csremap(
+    mode: str,
+    *,
+    n_lat: int,
+    n_lon: int,
+    n_cs: int,
+    out_path,
+    samples: int = 8,
+    lat_centered: bool = True,
+) -> Path:
+    """Run the generator; returns the written weight file path."""
+    if mode not in ("ll2cs", "cs2ll"):
+        raise ValueError(f"mode must be ll2cs|cs2ll, got {mode!r}")
+    binary = build_csremap()
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    subprocess.run(
+        [
+            str(binary),
+            "--mode", mode,
+            "--nlat", str(n_lat),
+            "--nlon", str(n_lon),
+            "--ncs", str(n_cs),
+            "--samples", str(samples),
+            "--lat-centered", "1" if lat_centered else "0",
+            "--out", str(out_path),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out_path
+
+
+def load_csremap(path) -> RemapWeights:
+    """Load a CSRM binary weight file into :class:`RemapWeights`."""
+    raw = Path(path).read_bytes()
+    if raw[:4] != b"CSRM":
+        raise ValueError(f"{path} is not a CSRM weight file")
+    version, n_t, n_s = struct.unpack_from("<III", raw, 4)
+    if version != 1:
+        raise ValueError(f"unsupported CSRM version {version}")
+    (nnz,) = struct.unpack_from("<Q", raw, 16)
+    off = 24
+    rows = np.frombuffer(raw, dtype="<i4", count=nnz, offset=off)
+    off += 4 * nnz
+    cols = np.frombuffer(raw, dtype="<i4", count=nnz, offset=off)
+    off += 4 * nnz
+    vals = np.frombuffer(raw, dtype="<f8", count=nnz, offset=off)
+    return RemapWeights(
+        rows=rows.copy(),
+        cols=cols.copy(),
+        vals=vals.astype(np.float32),
+        shape=(int(n_t), int(n_s)),
+    )
+
+
+def conservative_weights(
+    mode: str,
+    *,
+    n_lat: int,
+    n_lon: int,
+    n_cs: int,
+    samples: int = 8,
+    lat_centered: bool = True,
+    cache_dir=None,
+) -> RemapWeights:
+    """Generate (or reuse cached) conservative weights via the C++ tool."""
+    import tempfile
+
+    cache_dir = Path(cache_dir) if cache_dir else Path(tempfile.gettempdir())
+    name = f"csremap_{mode}_{n_lat}x{n_lon}_c{n_cs}_s{samples}_{int(lat_centered)}.bin"
+    path = cache_dir / name
+    if not path.exists():
+        run_csremap(
+            mode,
+            n_lat=n_lat,
+            n_lon=n_lon,
+            n_cs=n_cs,
+            out_path=path,
+            samples=samples,
+            lat_centered=lat_centered,
+        )
+    return load_csremap(path)
