@@ -21,4 +21,7 @@ Subpackages
 - ``utils``: checkpointing, logging, misc.
 """
 
+from dlwp_cs_tpu.estimator import DLWPEstimator  # noqa: E402
+
+__all__ = ["DLWPEstimator"]
 __version__ = "0.1.0"

@@ -51,6 +51,11 @@ class SeriesDataset:
       sample_stride: stride between consecutive training samples.
       drop_remainder: drop the final short batch (static shapes for jit).
       scale: normalize fields with the store's mean/std.
+      channels_last: if False, emit ``(B, C, 6, n, n)`` (the reference's
+        channels-first generator option); the compute path is channels-last,
+        so this exists for API parity and external consumers.
+      impute: replace NaNs with 0 (the post-normalization mean) — the
+        reference's ``impute_missing`` analog.
       seed: shuffle seed.
     """
 
@@ -67,6 +72,8 @@ class SeriesDataset:
         sample_stride: int = 1,
         drop_remainder: bool = True,
         scale: bool = True,
+        channels_last: bool = True,
+        impute: bool = False,
         seed: int = 0,
     ):
         self.store = store
@@ -78,6 +85,8 @@ class SeriesDataset:
         self.interval = int(interval)
         self.drop_remainder = bool(drop_remainder)
         self.scale = bool(scale)
+        self.channels_last = bool(channels_last)
+        self.impute = bool(impute)
         self._rng = np.random.default_rng(seed)
 
         t_total = store.fields.shape[0]
@@ -166,6 +175,12 @@ class SeriesDataset:
             )
         inputs = np.concatenate(parts, axis=-1)
         targets = _fold(y_win)
+        if self.impute:
+            inputs = np.nan_to_num(inputs, copy=False)
+            targets = np.nan_to_num(targets, copy=False)
+        if not self.channels_last:
+            inputs = np.moveaxis(inputs, -1, 1)
+            targets = np.moveaxis(targets, -1, 1)
         return inputs, targets
 
     def __iter__(self):

@@ -1,0 +1,174 @@
+"""High-level estimator facade: the one-object workflow API.
+
+Capability parity with the reference's ``DLWPNeuralNet`` / ``DLWPFunctional``
+wrappers (``DLWP/model/models.py`` — SURVEY.md §2 rows 6-7) plus
+``util.save_model``/``load_model`` (§3.4): one object that bundles config,
+model, normalization stats and parameters, with ``fit`` / ``forecast`` /
+``save`` / ``load``.  Unlike the reference (pickled wrapper + Keras h5 +
+custom_objects registry), everything persists as orbax pytree checkpoints +
+JSON config, reconstructable from artifacts alone.
+
+The lower-level pieces (Trainer, SeriesDataset, TimeSeriesEstimator) remain
+directly usable; this facade just wires them the way the examples do.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dlwp_cs_tpu.data.prefetch import prefetch_to_device
+from dlwp_cs_tpu.data.series import SeriesDataset
+from dlwp_cs_tpu.geometry.cubed_sphere import CubedSphere
+from dlwp_cs_tpu.models.config import ExperimentConfig
+from dlwp_cs_tpu.models.unet import CubeSphereUNet
+from dlwp_cs_tpu.rollout.estimator import Forecast, TimeSeriesEstimator
+from dlwp_cs_tpu.train.train_step import init_state, make_optimizer
+from dlwp_cs_tpu.train.trainer import Trainer
+from dlwp_cs_tpu.utils.checkpoint import (
+    load_json,
+    restore_checkpoint,
+    save_checkpoint,
+    save_json,
+)
+
+__all__ = ["DLWPEstimator"]
+
+
+class DLWPEstimator:
+    """Config-driven train/forecast/save/load in one object."""
+
+    def __init__(self, config: ExperimentConfig):
+        self.config = config
+        self.model = CubeSphereUNet(config.resolved_model())
+        self.cs = CubedSphere(config.data.grid_n)
+        self.state = None
+        self.stats: dict | None = None
+
+    # -- data wiring -------------------------------------------------------
+    def _dataset(self, store, *, shuffle: bool) -> SeriesDataset:
+        lat, lon = self.cs.cell_latlon
+        return SeriesDataset(
+            store,
+            self.config.data,
+            lat=lat,
+            lon=lon,
+            batch_size=self.config.train.batch_size,
+            shuffle=shuffle,
+            seed=self.config.train.seed,
+        )
+
+    def _capture_stats(self, store, ds: SeriesDataset) -> None:
+        self.stats = {
+            "mean": [float(v) for v in store.mean],
+            "std": [float(v) for v in store.std],
+            "insol_mean": ds.insol_mean,
+            "insol_std": ds.insol_std,
+        }
+
+    # -- training ----------------------------------------------------------
+    def fit(self, store, *, val_store=None, workdir=None, epochs=None,
+            verbose: bool = True):
+        """Train on a predictor store; returns self."""
+        train_ds = self._dataset(store, shuffle=True)
+        self._capture_stats(store, train_ds)
+        val_ds = self._dataset(val_store, shuffle=False) if val_store else None
+        trainer = Trainer(
+            self.model,
+            self.config.train,
+            area_weights=(
+                self.cs.area_weights
+                if self.config.train.area_weighted_loss
+                else None
+            ),
+            workdir=workdir,
+        )
+        if self.state is None:
+            x0, _ = train_ds.make_batch(train_ds._starts[:1])
+            self.state = trainer.init(jnp.asarray(x0))
+        self.state = trainer.fit(
+            self.state,
+            lambda: prefetch_to_device(iter(train_ds)),
+            val_data=(lambda: prefetch_to_device(iter(val_ds))) if val_ds else None,
+            epochs=epochs,
+            verbose=verbose,
+        )
+        self._last_history = trainer.history
+        return self
+
+    # -- inference ---------------------------------------------------------
+    def forecast(self, store, *, init_indices, steps: int) -> Forecast:
+        """Autoregressive forecast from store samples (normalized output).
+
+        ``init_indices``: store sample indices of each initialization's LAST
+        input time; ``steps``: model calls (each emits output_time_steps).
+        """
+        if self.state is None or self.stats is None:
+            raise RuntimeError("fit or load the estimator first")
+        dcfg = self.config.data
+        t_in = dcfg.input_time_steps
+        mean = np.asarray(self.stats["mean"], np.float32)
+        std = np.asarray(self.stats["std"], np.float32)
+        init_indices = np.asarray(init_indices)
+        windows = np.stack(
+            [
+                (np.asarray(store.fields[i - t_in + 1 : i + 1]) - mean) / std
+                for i in init_indices
+            ]
+        )
+        constants = None
+        if store.constants is not None and len(dcfg.constants):
+            names = list(store.constant_names)
+            idx = [names.index(c) for c in dcfg.constants]
+            constants = np.asarray(store.constants)[..., idx]
+        lat, lon = self.cs.cell_latlon
+        est = TimeSeriesEstimator(
+            apply_fn=self.model.apply,
+            params=self.state.params,
+            data_cfg=dcfg,
+            lat=lat,
+            lon=lon,
+            constants=constants,
+            insol_mean=self.stats["insol_mean"],
+            insol_std=self.stats["insol_std"],
+        )
+        t0 = float(np.asarray(store.times)[init_indices[0]])
+        return est.predict(jnp.asarray(windows), t0, steps=steps)
+
+    def denormalize(self, fields):
+        """Undo the store normalization on forecast fields."""
+        mean = np.asarray(self.stats["mean"], np.float32)
+        std = np.asarray(self.stats["std"], np.float32)
+        return np.asarray(fields) * std + mean
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path) -> Path:
+        if self.state is None or self.stats is None:
+            raise RuntimeError("nothing to save: fit or load first")
+        path = Path(path)
+        save_checkpoint(path, self.state, step=int(self.state.step))
+        save_json(path / "experiment.json", self.config.to_json())
+        save_json(path / "stats.json", self.stats)
+        return path
+
+    @classmethod
+    def load(cls, path) -> "DLWPEstimator":
+        path = Path(path)
+        config = ExperimentConfig.from_json(load_json(path / "experiment.json"))
+        self = cls(config)
+        n = config.data.grid_n
+        x0 = jnp.zeros((1, 6, n, n, config.data.input_channels))
+        params = self.model.init(jax.random.PRNGKey(0), x0)
+        template = init_state(params, make_optimizer(config.train))
+        self.state, _ = restore_checkpoint(path, template)
+        self.stats = load_json(path / "stats.json")
+        return self
+
+    def replace_config(self, **kwargs) -> "DLWPEstimator":
+        """New estimator with updated config fields (state not carried)."""
+        return DLWPEstimator(dataclasses.replace(self.config, **kwargs))

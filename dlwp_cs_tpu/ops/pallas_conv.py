@@ -125,8 +125,16 @@ def vmem_estimate_bytes(n: int, cin: int, cout: int, dtype_bytes: int = 4) -> in
 
 
 def pallas_supported(x_shape, kernel_size, stride, dilation, dtype) -> bool:
-    """Is the fused kernel applicable (and likely to fit VMEM)?"""
+    """Is the fused kernel applicable (and likely to fit VMEM)?
+
+    bf16 is currently routed to the XLA path: Mosaic cannot lower the
+    kernel's sub-tile shape casts for 16-bit types with non-128 lane dims
+    ("infer-vector-layout: unsupported shape cast"); a lane-aligned bf16
+    kernel (channels padded to 128) is the next kernel milestone.
+    """
     if tuple(kernel_size) != (3, 3) or stride != 1 or dilation != 1:
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
         return False
     n = x_shape[-2]
     if x_shape[-3] != n or n < 4:

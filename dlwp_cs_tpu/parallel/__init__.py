@@ -9,6 +9,7 @@ from dlwp_cs_tpu.parallel.mesh import (
     create_mesh,
     replicated,
 )
+from dlwp_cs_tpu.parallel.scaling import ScalingResult, measure_scaling
 from dlwp_cs_tpu.parallel.sharding import (
     make_dp_train_step,
     make_spatial_apply,
@@ -25,6 +26,8 @@ __all__ = [
     "batch_spatial_sharding",
     "create_mesh",
     "replicated",
+    "ScalingResult",
+    "measure_scaling",
     "make_dp_train_step",
     "make_spatial_apply",
     "make_spatial_train_step",
