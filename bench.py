@@ -82,7 +82,8 @@ def main() -> int:
 
     smoke = args.smoke
     n = 12 if smoke else 48
-    filters = (4, 8) if smoke else (64, 128, 256)
+    # Weyn et al. 2020-scale flagship U-Net (SURVEY.md §6)
+    filters = (4, 8) if smoke else (32, 64, 128)
     batch = args.batch or (2 if smoke else 16)
     iters = 3 if smoke else 10
 
@@ -104,6 +105,7 @@ def main() -> int:
     opt = make_optimizer(TrainConfig(learning_rate=1e-3))
     state = init_state(params, opt)
     step = make_train_step(model.apply, opt, mse)
+    print("[bench] compiling train step...", file=sys.stderr, flush=True)
 
     # --- config 2: full train step throughput -----------------------------
     # (state buffers are donated, so thread the state through the loop)
@@ -136,6 +138,7 @@ def main() -> int:
 
         return jax.grad(f)(xo)
 
+    print("[bench] compiling op-level fused/naive paths...", file=sys.stderr, flush=True)
     t_fused = _timeit(jax.jit(fused_fwdbwd), xo, iters=iters)
     t_naive = _timeit(jax.jit(naive_fwdbwd), xo, iters=iters)
     speedup = t_naive / t_fused
@@ -162,6 +165,7 @@ def main() -> int:
             np.float32
         )
     )
+    print("[bench] compiling rollout...", file=sys.stderr, flush=True)
     fc = rollout(state.params, window, 9000.0)
     jax.block_until_ready(fc.fields)
     t_roll = _timeit(lambda: rollout(state.params, window, 9000.0), iters=max(3, iters // 2))

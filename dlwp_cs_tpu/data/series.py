@@ -56,6 +56,12 @@ class SeriesDataset:
         so this exists for API parity and external consumers.
       impute: replace NaNs with 0 (the post-normalization mean) — the
         reference's ``impute_missing`` analog.
+      sequence: if set to ``k``, batches are for autoregressive multi-step
+        training (the reference generator's ``sequence`` mode):
+        ``(window (B, Tin, 6, n, n, C) raw normalized fields,
+        targets (B, k, 6, n, n, Tout*C), t0_days (B,))`` — insolation and
+        constants are attached *in-graph* by
+        :func:`dlwp_cs_tpu.train.make_sequence_loss` at each rollout step.
       seed: shuffle seed.
     """
 
@@ -74,6 +80,7 @@ class SeriesDataset:
         scale: bool = True,
         channels_last: bool = True,
         impute: bool = False,
+        sequence: int | None = None,
         seed: int = 0,
     ):
         self.store = store
@@ -87,10 +94,16 @@ class SeriesDataset:
         self.scale = bool(scale)
         self.channels_last = bool(channels_last)
         self.impute = bool(impute)
+        self.sequence = None if sequence is None else int(sequence)
+        if self.sequence is not None and self.sequence < 1:
+            raise ValueError(f"sequence must be >= 1, got {sequence}")
         self._rng = np.random.default_rng(seed)
 
         t_total = store.fields.shape[0]
-        span = (cfg.input_time_steps + cfg.output_time_steps - 1) * self.interval
+        n_out_windows = self.sequence or 1
+        span = (
+            cfg.input_time_steps + n_out_windows * cfg.output_time_steps - 1
+        ) * self.interval
         if t_total <= span:
             raise ValueError(
                 f"store has {t_total} samples; window needs > {span}"
@@ -130,10 +143,9 @@ class SeriesDataset:
     # -- batch assembly ----------------------------------------------------
     def _window_indices(self, starts: np.ndarray):
         cfg = self.cfg
+        n_out = (self.sequence or 1) * cfg.output_time_steps
         offs_in = np.arange(cfg.input_time_steps) * self.interval
-        offs_out = (
-            cfg.input_time_steps + np.arange(cfg.output_time_steps)
-        ) * self.interval
+        offs_out = (cfg.input_time_steps + np.arange(n_out)) * self.interval
         return starts[:, None] + offs_in[None, :], starts[:, None] + offs_out[None, :]
 
     def _gather(self, idx2d: np.ndarray) -> np.ndarray:
@@ -157,8 +169,22 @@ class SeriesDataset:
         cfg = self.cfg
         idx_in, idx_out = self._window_indices(starts)
         x_win = self._normalize(self._gather(idx_in))  # (B, Tin, 6, n, n, C)
-        y_win = self._normalize(self._gather(idx_out))  # (B, Tout, 6, n, n, C)
+        y_win = self._normalize(self._gather(idx_out))  # (B, Tout', 6, n, n, C)
         b, t_in = x_win.shape[:2]
+        if self.sequence is not None:
+            # sequence mode: raw window + stacked target windows + t0 clock
+            k, t_out = self.sequence, cfg.output_time_steps
+            targets = np.stack(
+                [_fold(y_win[:, s * t_out : (s + 1) * t_out]) for s in range(k)],
+                axis=1,
+            )
+            if self.impute:
+                x_win = np.nan_to_num(x_win, copy=False)
+                targets = np.nan_to_num(targets, copy=False)
+            t0 = np.asarray(self.store.times)[
+                starts + (t_in - 1) * self.interval
+            ].astype(np.float32)
+            return x_win, targets, t0
         parts = [_fold(x_win)]
         if cfg.add_insolation:
             times = np.asarray(self.store.times)[idx_in]  # (B, Tin)

@@ -82,6 +82,9 @@ class DataConfig:
 class TrainConfig:
     batch_size: int = 32
     learning_rate: float = 1e-3
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'warmup_cosine'
+    lr_warmup_steps: int = 1000
+    lr_decay_steps: int = 100_000
     optimizer: str = "adam"
     weight_decay: float = 0.0
     max_epochs: int = 200

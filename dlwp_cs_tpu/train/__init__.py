@@ -8,6 +8,7 @@ from dlwp_cs_tpu.train.train_step import (
     make_optimizer,
     make_train_step,
 )
+from dlwp_cs_tpu.train.sequence import make_sequence_loss, make_sequence_train_step
 from dlwp_cs_tpu.train.trainer import EarlyStoppingMin, History, Trainer
 
 __all__ = [
@@ -17,6 +18,8 @@ __all__ = [
     "make_loss_fn",
     "make_optimizer",
     "make_train_step",
+    "make_sequence_loss",
+    "make_sequence_train_step",
     "EarlyStoppingMin",
     "History",
     "Trainer",

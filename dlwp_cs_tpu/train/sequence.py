@@ -1,0 +1,102 @@
+"""Autoregressive multi-step (sequence) training.
+
+Capability parity with the reference's ``DLWPFunctional`` multi-output
+multi-time-step training + the generator's ``sequence`` mode (SURVEY.md §2
+rows 7, 9): during training the model is applied ``k`` times, each step
+feeding its outputs back as inputs (with insolation recomputed at the new
+valid times), and the loss is averaged over all ``k`` predicted windows —
+the standard recipe for long-rollout stability.
+
+TPU-first: the inner autoregression is a ``lax.scan`` inside the jitted
+train step, sharing the exact rewiring semantics of
+:mod:`dlwp_cs_tpu.rollout` (one code path, tested against it).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from dlwp_cs_tpu.data.channels import pack_inputs, unfold_time
+from dlwp_cs_tpu.geometry.insolation import insolation
+from dlwp_cs_tpu.models.config import DataConfig
+from dlwp_cs_tpu.train.train_step import TrainState
+
+__all__ = ["make_sequence_loss", "make_sequence_train_step"]
+
+
+def make_sequence_loss(
+    apply_fn,
+    data_cfg: DataConfig,
+    *,
+    lat,
+    lon,
+    constants=None,
+    insol_mean: float = 0.0,
+    insol_std: float = 1.0,
+    sequence: int,
+    loss_fn=None,
+):
+    """Build ``loss(params, window, t0_days, targets) -> scalar``.
+
+    ``window``: (B, T_in, 6, n, n, C) normalized initial fields;
+    ``t0_days``: (B,) valid time of the last input step;
+    ``targets``: (B, sequence, 6, n, n, T_out*C) folded target windows.
+    """
+    t_in = data_cfg.input_time_steps
+    t_out = data_cfg.output_time_steps
+    dt_days = data_cfg.step_hours / 24.0
+    lat = jnp.asarray(lat)
+    lon = jnp.asarray(lon)
+    if constants is not None:
+        constants = jnp.asarray(constants)
+    if loss_fn is None:
+        loss_fn = lambda p, t: jnp.mean(jnp.square(p - t))
+
+    def input_insolation(t_days):
+        if not data_cfg.add_insolation:
+            return None
+        offsets = (jnp.arange(t_in) - (t_in - 1)) * dt_days
+        times = t_days[:, None] + offsets[None, :]  # (B, T_in)
+        ins = insolation(times[..., None, None, None], lat, lon)
+        return (ins - insol_mean) / insol_std
+
+    def loss(params, window, t0_days, targets):
+        def scan_step(carry, target):
+            window, t_days = carry
+            inputs = pack_inputs(window, input_insolation(t_days), constants)
+            out = apply_fn(params, inputs)  # (B, 6, n, n, T_out*C)
+            step_loss = loss_fn(out, target)
+            out_window = unfold_time(out, t_out)
+            new_window = jnp.concatenate([window, out_window], axis=1)[:, -t_in:]
+            return (new_window, t_days + t_out * dt_days), step_loss
+
+        # scan over the sequence axis of targets
+        targets_seq = jnp.moveaxis(targets, 1, 0)  # (seq, B, 6, n, n, T_out*C)
+        (_, _), losses = lax.scan(
+            scan_step, (window, jnp.asarray(t0_days, jnp.float32)), targets_seq
+        )
+        return jnp.mean(losses)
+
+    return loss
+
+
+def make_sequence_train_step(loss, optimizer, *, jit: bool = True):
+    """Train step over sequence batches ``(window, t0_days, targets)``."""
+
+    def step(state: TrainState, window, t0_days, targets):
+        value, grads = jax.value_and_grad(loss)(
+            state.params, window, t0_days, targets
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": value,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    if jit:
+        return jax.jit(step, donate_argnums=(0,))
+    return step

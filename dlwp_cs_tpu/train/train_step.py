@@ -38,18 +38,38 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Build the optax chain from config (adam/adamw/sgd + clip)."""
+    """Build the optax chain from config (adam/adamw/sgd + schedule + clip)."""
+    lr = _make_schedule(cfg)
     if cfg.optimizer == "adam":
-        opt = optax.adam(cfg.learning_rate)
+        opt = optax.adam(lr)
     elif cfg.optimizer == "adamw":
-        opt = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        opt = optax.adamw(lr, weight_decay=cfg.weight_decay)
     elif cfg.optimizer == "sgd":
-        opt = optax.sgd(cfg.learning_rate)
+        opt = optax.sgd(lr)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.grad_clip_norm is not None:
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
     return opt
+
+
+def _make_schedule(cfg: TrainConfig):
+    """Learning-rate schedule from config."""
+    sched = getattr(cfg, "lr_schedule", "constant")
+    if sched == "constant":
+        return cfg.learning_rate
+    if sched == "cosine":
+        return optax.cosine_decay_schedule(
+            cfg.learning_rate, decay_steps=max(1, cfg.lr_decay_steps)
+        )
+    if sched == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=max(1, cfg.lr_warmup_steps),
+            decay_steps=max(2, cfg.lr_decay_steps),
+        )
+    raise ValueError(f"unknown lr_schedule {sched!r}")
 
 
 def make_loss_fn(cfg: TrainConfig, area_weights=None) -> Callable:

@@ -1,5 +1,6 @@
 """Utilities: checkpointing, json IO."""
 
+from dlwp_cs_tpu.utils.profiling import Timer, conv_roofline, trace
 from dlwp_cs_tpu.utils.checkpoint import (
     latest_step,
     load_json,
@@ -9,6 +10,9 @@ from dlwp_cs_tpu.utils.checkpoint import (
 )
 
 __all__ = [
+    "Timer",
+    "conv_roofline",
+    "trace",
     "latest_step",
     "load_json",
     "restore_checkpoint",
