@@ -78,46 +78,59 @@ def gather_halo_strips(x):
 
 
 def _kernel(x_ref, strip_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad, *, n):
-    """One batch element: assemble padded faces in VMEM and convolve."""
+    """One (batch, face) block: assemble the padded face in VMEM, convolve.
+
+    Gridding over faces (not just batch) keeps the per-step VMEM footprint
+    to one face + its strips (Mosaic double-buffers the pipelined blocks, so
+    whole-sphere blocks blow the 16 MB budget at C48) and lets the DMA of
+    face f+1 overlap the MXU work on face f.
+    """
     cout = out_ref.shape[-1]
-    for f in range(6):
-        # ---- padded face (n+2, n+2, Cin) in VMEM scratch -----------------
-        s_strip = strip_ref[0, f, EDGE_S]  # (n, C)
-        n_strip = strip_ref[0, f, EDGE_N]
-        w_strip = strip_ref[0, f, EDGE_W]
-        e_strip = strip_ref[0, f, EDGE_E]
-        xpad[1 : n + 1, 1 : n + 1, :] = x_ref[0, f]
-        xpad[0, 1 : n + 1, :] = s_strip
-        xpad[n + 1, 1 : n + 1, :] = n_strip
-        xpad[1 : n + 1, 0, :] = w_strip
-        xpad[1 : n + 1, n + 1, :] = e_strip
-        # corners: average of the two flanking edge ghosts
-        xpad[0, 0, :] = 0.5 * (s_strip[0] + w_strip[0])
-        xpad[0, n + 1, :] = 0.5 * (s_strip[n - 1] + e_strip[0])
-        xpad[n + 1, 0, :] = 0.5 * (n_strip[0] + w_strip[n - 1])
-        xpad[n + 1, n + 1, :] = 0.5 * (n_strip[n - 1] + e_strip[n - 1])
-        # ---- 9-tap shifted contractions on the MXU -----------------------
-        k_ref = keq_ref if f < 4 else kpo_ref
-        b_ref = beq_ref if f < 4 else bpo_ref
-        acc = jnp.zeros((n, n, cout), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                tile = xpad[dy : dy + n, dx : dx + n, :]  # (n, n, Cin)
-                acc += jax.lax.dot_general(
-                    tile,
-                    k_ref[dy, dx],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        acc += b_ref[0].astype(jnp.float32)
-        out_ref[0, f] = acc.astype(out_ref.dtype)
+    f = pl.program_id(1)
+    is_equatorial = f < 4
+    # ---- padded face (n+2, n+2, Cin) in VMEM scratch ---------------------
+    s_strip = strip_ref[0, 0, EDGE_S]  # (n, C)
+    n_strip = strip_ref[0, 0, EDGE_N]
+    w_strip = strip_ref[0, 0, EDGE_W]
+    e_strip = strip_ref[0, 0, EDGE_E]
+    xpad[1 : n + 1, 1 : n + 1, :] = x_ref[0, 0]
+    xpad[0, 1 : n + 1, :] = s_strip
+    xpad[n + 1, 1 : n + 1, :] = n_strip
+    xpad[1 : n + 1, 0, :] = w_strip
+    xpad[1 : n + 1, n + 1, :] = e_strip
+    # corners: average of the two flanking edge ghosts
+    xpad[0, 0, :] = 0.5 * (s_strip[0] + w_strip[0])
+    xpad[0, n + 1, :] = 0.5 * (s_strip[n - 1] + e_strip[0])
+    xpad[n + 1, 0, :] = 0.5 * (n_strip[0] + w_strip[n - 1])
+    xpad[n + 1, n + 1, :] = 0.5 * (n_strip[n - 1] + e_strip[n - 1])
+    # ---- 9-tap shifted contractions on the MXU ---------------------------
+    # Weight-group choice is data-dependent on the face id: load both small
+    # kernels and select elementwise (cheap vs. the matmuls).
+    acc = jnp.zeros((n, n, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            k = jnp.where(is_equatorial, keq_ref[dy, dx], kpo_ref[dy, dx])
+            tile = xpad[dy : dy + n, dx : dx + n, :]  # (n, n, Cin)
+            acc += jax.lax.dot_general(
+                tile,
+                k,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    bias = jnp.where(is_equatorial, beq_ref[0], bpo_ref[0])
+    acc += bias.astype(jnp.float32)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def vmem_estimate_bytes(n: int, cin: int, cout: int, dtype_bytes: int = 4) -> int:
-    """Rough VMEM footprint of the fused kernel for feasibility gating."""
-    x = 6 * n * n * cin * dtype_bytes
-    strips = 6 * 4 * n * cin * dtype_bytes
-    out = 6 * n * n * cout * dtype_bytes
+    """Rough VMEM footprint of the fused kernel for feasibility gating.
+
+    Per grid step the kernel holds ONE face block (+ strips) and its output;
+    Mosaic double-buffers the pipelined in/out blocks (x2 below).
+    """
+    x = 2 * n * n * cin * dtype_bytes
+    strips = 2 * 4 * n * cin * dtype_bytes
+    out = 2 * n * n * cout * dtype_bytes
     pad = (n + 2) * (n + 2) * cin * dtype_bytes
     acc = n * n * cout * 4
     k = 2 * 9 * cin * cout * dtype_bytes
@@ -166,13 +179,15 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
     flops = 2 * b * 6 * n * n * 9 * cin * cout
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, 6),
         in_specs=[
             pl.BlockSpec(
-                (1, 6, n, n, cin), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, n, n, cin), lambda i, f: (i, f, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 6, 4, n, cin), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, 4, n, cin), lambda i, f: (i, f, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -180,7 +195,8 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 6, n, n, cout), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, n, n, cout), lambda i, f: (i, f, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, 6, n, n, cout), x.dtype),
         scratch_shapes=[pltpu.VMEM((n + 2, n + 2, cin), x.dtype)],

@@ -143,20 +143,34 @@ class Trainer:
         for epoch in range(epochs):
             t0 = time.perf_counter()
             losses = []
-            for inputs, targets in _epoch_iter(train_data):
+            it = iter(_epoch_iter(train_data))
+            while True:
+                # Separate input-wait from compute: data_wait_s exposes input-
+                # pipeline stalls (SURVEY.md §7 M4 — "measured via step-time
+                # variance"); with prefetch it should be ~0.
+                t_wait = time.perf_counter()
+                try:
+                    inputs, targets = next(it)
+                except StopIteration:
+                    break
+                data_wait = time.perf_counter() - t_wait
                 gstep = int(state.step)
                 if self.profile_steps is not None and gstep == self.profile_steps[0]:
                     jax.profiler.start_trace(str(self.workdir / "profile"))
+                t_step = time.perf_counter()
                 state, metrics = self.train_step(state, inputs, targets)
+                loss = float(metrics["loss"])  # sync point
+                step_time = time.perf_counter() - t_step
                 if self.profile_steps is not None and gstep == self.profile_steps[1]:
                     jax.profiler.stop_trace()
-                loss = float(metrics["loss"])
                 losses.append(loss)
                 rec = {
                     "kind": "step",
                     "step": gstep,
                     "loss": loss,
                     "grad_norm": float(metrics["grad_norm"]),
+                    "step_s": step_time,
+                    "data_wait_s": data_wait,
                 }
                 self.history.steps.append(rec)
                 self._log(rec)
