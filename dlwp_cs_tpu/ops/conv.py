@@ -76,8 +76,10 @@ def cs_conv(
         same array for both to share weights globally.
       bias_eq / bias_pole: optional ``(Cout,)`` biases per group.
       stride, dilation: standard conv parameters (square).
-      backend: 'auto' (fused Pallas kernel on TPU when applicable, else XLA),
-        'xla', 'pallas', or 'pallas_interpret' (CPU testing of the kernel).
+      backend: 'auto' (ring-fix fused path for 3x3/stride-1 — SAME conv +
+        O(perimeter) halo correction, the fastest formulation; else XLA),
+        'ringfix', 'xla', 'pallas' (VMEM-fused kernel, f32), or
+        'pallas_interpret' (CPU testing of the kernel).
 
     Returns ``(B, 6, n', n', Cout)`` where ``n' = n // stride`` (the halo
     supplies the boundary context, so output size is exactly ``n/stride``).
@@ -89,18 +91,29 @@ def cs_conv(
             f"kernel group shapes differ: {kernel_eq.shape} vs {kernel_pole.shape}"
         )
     kh, kw = kernel_eq.shape[0], kernel_eq.shape[1]
-    if backend != "xla":
+    is_3x3s1 = (kh, kw) == (3, 3) and stride == 1 and dilation == 1
+    if backend in ("auto", "ringfix") and is_3x3s1 and not _pad_impl_installed():
+        from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
+
+        return cs_conv3x3_ringfix(
+            x, kernel_eq, kernel_pole, bias_eq=bias_eq, bias_pole=bias_pole
+        )
+    if backend == "ringfix" and not is_3x3s1:
+        raise ValueError(
+            f"ringfix backend requires 3x3/stride-1/dilation-1, got "
+            f"kernel={kernel_eq.shape[:2]}, stride={stride}, dilation={dilation}"
+        )
+    if backend in ("pallas", "pallas_interpret"):
         fused = _maybe_pallas(
             x, kernel_eq, kernel_pole, bias_eq, bias_pole, stride, dilation, backend
         )
         if fused is not None:
             return fused
-        if backend in ("pallas", "pallas_interpret"):
-            raise ValueError(
-                "pallas backend requested but configuration unsupported "
-                f"(kernel={kernel_eq.shape[:2]}, stride={stride}, "
-                f"dilation={dilation}, shape={x.shape})"
-            )
+        raise ValueError(
+            "pallas backend requested but configuration unsupported "
+            f"(kernel={kernel_eq.shape[:2]}, stride={stride}, "
+            f"dilation={dilation}, shape={x.shape})"
+        )
     w = conv_halo_width((kh, kw), dilation)
     if w == 0:
         xp = x  # 1x1 conv: no halo needed
@@ -115,26 +128,27 @@ def cs_conv(
     return jnp.concatenate([eq, pole], axis=1)
 
 
-def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
-    """Dispatch to the fused Pallas kernel when applicable; else None.
+def _pad_impl_installed() -> bool:
+    """True when a distributed pad implementation (shard_map halo) is active.
 
-    The fused path only exists for the single-device layout — when a
-    distributed pad implementation is installed (shard_map halo exchange),
-    the XLA path with the installed pad is used instead.
+    The single-device fused paths read neighbor faces directly, which is
+    wrong under domain decomposition — those traces must use the installed
+    pad + VALID conv path instead.
     """
     from dlwp_cs_tpu.ops import padding as _padding
+
+    return _padding._PAD_IMPL.get() is not None
+
+
+def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
+    """Dispatch to the VMEM-fused Pallas kernel when applicable; else None."""
     from dlwp_cs_tpu.ops.pallas_conv import cs_conv3x3_pallas, pallas_supported
 
-    if _padding._PAD_IMPL.get() is not None:
+    if _pad_impl_installed():
         return None
     if not pallas_supported(x.shape, k_eq.shape[:2], stride, dilation, x.dtype):
         return None
     interpret = backend == "pallas_interpret"
-    if backend == "auto":
-        import jax
-
-        if jax.devices()[0].platform != "tpu":
-            return None
     cout = k_eq.shape[-1]
     zb = jnp.zeros((cout,), x.dtype)
     return cs_conv3x3_pallas(

@@ -9,6 +9,11 @@ from dlwp_cs_tpu.parallel.mesh import (
     create_mesh,
     replicated,
 )
+from dlwp_cs_tpu.parallel.multihost import (
+    global_mesh,
+    host_batch_slice,
+    initialize_distributed,
+)
 from dlwp_cs_tpu.parallel.scaling import ScalingResult, measure_scaling
 from dlwp_cs_tpu.parallel.sharding import (
     make_dp_train_step,
@@ -26,6 +31,9 @@ __all__ = [
     "batch_spatial_sharding",
     "create_mesh",
     "replicated",
+    "global_mesh",
+    "host_batch_slice",
+    "initialize_distributed",
     "ScalingResult",
     "measure_scaling",
     "make_dp_train_step",

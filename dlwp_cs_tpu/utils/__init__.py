@@ -1,5 +1,12 @@
 """Utilities: checkpointing, json IO."""
 
+from dlwp_cs_tpu.utils.misc import (
+    datetime_to_days,
+    day_of_year,
+    days_to_datetime,
+    delete_nan_samples,
+    train_test_split_ind,
+)
 from dlwp_cs_tpu.utils.profiling import Timer, conv_roofline, trace
 from dlwp_cs_tpu.utils.checkpoint import (
     latest_step,
@@ -10,6 +17,11 @@ from dlwp_cs_tpu.utils.checkpoint import (
 )
 
 __all__ = [
+    "datetime_to_days",
+    "day_of_year",
+    "days_to_datetime",
+    "delete_nan_samples",
+    "train_test_split_ind",
     "Timer",
     "conv_roofline",
     "trace",
