@@ -1,6 +1,7 @@
 """Data pipeline: stores, series windowing, prefetch, preprocessing, ERA5."""
 
 from dlwp_cs_tpu.data.channels import fold_time, pack_inputs, unfold_time
+from dlwp_cs_tpu.data.cfsr import CFSReanalysis, CFSReforecast
 from dlwp_cs_tpu.data.era5 import ERA5Reanalysis, read_netcdf_var
 from dlwp_cs_tpu.data.prefetch import PrefetchIterator, prefetch_to_device
 from dlwp_cs_tpu.data.preprocessing import Preprocessor
@@ -11,6 +12,8 @@ __all__ = [
     "fold_time",
     "pack_inputs",
     "unfold_time",
+    "CFSReanalysis",
+    "CFSReforecast",
     "ERA5Reanalysis",
     "read_netcdf_var",
     "PrefetchIterator",

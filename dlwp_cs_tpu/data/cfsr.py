@@ -1,0 +1,88 @@
+"""NOAA CFS reanalysis/reforecast acquisition (legacy parity).
+
+Capability parity with ``DLWP/data/cfsr.py::CFSReanalysis / CFSReforecast``
+(SURVEY.md §2 row 14): download managers for the NOAA CFS products used by
+the 2019 lat-lon paper.  Not on the cubed-sphere critical path; kept for API
+parity.  Like the reference, retrieval shells out to the network (NOMADS/NCDC
+HTTP) — unavailable in this offline environment, so ``retrieve`` fails with a
+clear message; ``open`` reads previously converted netCDF files via h5py.
+
+GRIB2 decoding (the reference used external grib tooling) is out of scope
+offline: point ``open`` at netCDF conversions produced by standard tooling
+(wgrib2/cdo) on the retrieval machine.
+"""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from dlwp_cs_tpu.data.era5 import netcdf_time_to_epoch_days, read_netcdf_var
+
+__all__ = ["CFSReanalysis", "CFSReforecast"]
+
+_NOMADS = "https://nomads.ncep.noaa.gov/pub/data/nccf/cfsr"
+_NCDC = "https://www.ncei.noaa.gov/data/climate-forecast-system"
+
+
+@dataclass
+class CFSReanalysis:
+    """CFS reanalysis download manager (monthly grib2 product files)."""
+
+    root_directory: str | Path = "cfsr"
+    file_format: str = "{var}.l.gdas.{yyyymm}.grb2"
+    base_url: str = _NCDC
+    _files: dict = field(default_factory=dict)
+
+    def _target(self, var: str, year: int, month: int) -> Path:
+        return Path(self.root_directory) / self.file_format.format(
+            var=var, yyyymm=f"{year}{month:02d}"
+        )
+
+    def retrieve(self, variables, years, months=None, *, overwrite=False):
+        """Download monthly grib2 files; returns the local paths."""
+        months = months or list(range(1, 13))
+        Path(self.root_directory).mkdir(parents=True, exist_ok=True)
+        paths = []
+        for var in variables:
+            for year in years:
+                for month in months:
+                    target = self._target(var, year, month)
+                    if target.exists() and not overwrite:
+                        paths.append(target)
+                        continue
+                    url = (
+                        f"{self.base_url}/reanalysis/monthly/{year}"
+                        f"/{target.name}"
+                    )
+                    try:
+                        urllib.request.urlretrieve(url, target)
+                    except (urllib.error.URLError, OSError) as e:
+                        raise RuntimeError(
+                            f"CFS retrieval needs network access (failed on "
+                            f"{url}); run on a connected machine"
+                        ) from e
+                    paths.append(target)
+        return paths
+
+    def open(self, path, variable: str):
+        """Open a converted netCDF file: returns (data, lats, lons, times)."""
+        data = read_netcdf_var(path, variable)
+        lats = np.deg2rad(read_netcdf_var(path, "latitude"))
+        lons = np.deg2rad(read_netcdf_var(path, "longitude"))
+        times = netcdf_time_to_epoch_days(read_netcdf_var(path, "time"))
+        if lats[0] > lats[-1]:
+            lats = lats[::-1]
+            data = data[:, ::-1]
+        return data, lats, lons, times
+
+
+@dataclass
+class CFSReforecast(CFSReanalysis):
+    """CFS reforecast product manager (same mechanics, different layout)."""
+
+    file_format: str = "{var}.{yyyymm}.time.grb2"

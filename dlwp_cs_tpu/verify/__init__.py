@@ -1,5 +1,6 @@
 """Forecast verification metrics."""
 
+from dlwp_cs_tpu.verify.alignment import align_truth
 from dlwp_cs_tpu.verify.metrics import (
     acc_curve,
     climo_error,
@@ -9,6 +10,7 @@ from dlwp_cs_tpu.verify.metrics import (
 )
 
 __all__ = [
+    "align_truth",
     "acc_curve",
     "climo_error",
     "forecast_error",

@@ -36,25 +36,14 @@ def main() -> int:
     n = store.grid_n
     cs = CubedSphere(n)
 
-    # Align truth: for each init time and lead, find the store sample.
-    dt = store.times[1] - store.times[0]
-    b, n_lead = fields.shape[:2]
-    truth = np.zeros_like(fields)
-    init_fields = np.zeros_like(fields[:, 0])
-    valid = np.ones((b, n_lead), bool)
-    for bi in range(b):
-        idx0 = int(round((init_times[bi] - store.times[0]) / dt))
-        init_fields[bi] = store.fields[idx0]
-        for li in range(n_lead):
-            t_valid = init_times[bi] + lead_hours[li] / 24.0
-            idx = int(round((t_valid - store.times[0]) / dt))
-            if 0 <= idx < store.fields.shape[0]:
-                truth[bi, li] = store.fields[idx]
-            else:
-                valid[bi, li] = False
-    keep = valid.all(axis=0)
-    fields, truth = fields[:, keep], truth[:, keep]
-    lead_hours = lead_hours[keep]
+    # Align truth with the forecast (B, L) structure.
+    from dlwp_cs_tpu.verify import align_truth
+
+    aligned = align_truth(store, init_times, lead_hours)
+    truth = aligned["truth"]
+    init_fields = aligned["init_fields"]
+    lead_hours = aligned["lead_hours"]
+    fields = fields[:, aligned["kept"]]
 
     climo = store.fields.mean(axis=0)
     w = cs.area_weights
