@@ -53,22 +53,29 @@ def gather_halo_strips(x):
 
     ``x``: ``(B, 6, n, n, C)`` -> ``(B, 6, 4, n, C)`` where ``[b, f, e, t]``
     is the ghost value beyond edge ``e`` of face ``f`` at along-edge position
-    ``t`` (already reversed where the seam demands it).  Cheap XLA ops on an
-    O(perimeter) tensor.
+    ``t`` (already reversed where the seam demands it).
+
+    The big tensor is touched by exactly two compact slices (boundary rows,
+    boundary columns); all per-seam reorientation happens on the resulting
+    O(perimeter) tensors (24 thin strided slices of the full activation were
+    a measurable cost on TPU).
     """
     n = x.shape[-2]
     table = padding_plan(n, 1).table
+    rows = jnp.stack([x[:, :, 0, :, :], x[:, :, n - 1, :, :]], axis=2)
+    cols = jnp.stack([x[:, :, :, 0, :], x[:, :, :, n - 1, :]], axis=2)
+    # rows/cols: (B, 6, 2, n, C) — [.., 0] = S/W boundary, [.., 1] = N/E.
 
     def src(link):
         g, e, rev = link.face, link.edge, link.reverse
         if e == EDGE_S:
-            s = x[:, g, 0, :, :]
+            s = rows[:, g, 0]
         elif e == EDGE_N:
-            s = x[:, g, n - 1, :, :]
+            s = rows[:, g, 1]
         elif e == EDGE_W:
-            s = x[:, g, :, 0, :]
+            s = cols[:, g, 0]
         else:
-            s = x[:, g, :, n - 1, :]
+            s = cols[:, g, 1]
         return jnp.flip(s, axis=1) if rev else s
 
     faces = []

@@ -84,9 +84,13 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     xp = jnp.concatenate(
         [w_strip[:, :, :, None, :], x, e_strip[:, :, :, None, :]], axis=3
     )  # (B, 6, n, n+2, C)
-    base_eq = _group_conv_rows_padded(xp[:, :4], k_eq)
-    base_po = _group_conv_rows_padded(xp[:, 4:], k_pole)
-    out = jnp.concatenate([base_eq, base_po], axis=1)  # (B, 6, n, n, Cout)
+    # Weight groups as base + polar correction: ONE six-face conv with k_eq
+    # plus a 2-face conv with (k_pole - k_eq) — measured faster than two
+    # group convs (the 2-face call under-utilizes; one big call + one small
+    # beats two medium).
+    base = _group_conv_rows_padded(xp, k_eq)
+    pole_fix = _group_conv_rows_padded(xp[:, 4:], k_pole - k_eq)
+    out = jnp.concatenate([base[:, :4], base[:, 4:] + pole_fix], axis=1)
 
     # 2. missing outside-row taps for the first/last output rows.
     # corner ghosts (B, 6, C): average of flanking edge-ghost ends
