@@ -1,18 +1,19 @@
 """Ring-fix cubed-sphere convolution: the fast fused 3x3 path.
 
 The fastest formulation found for 3x3/stride-1 CS convolution on TPU
-(measured against the pad-materializing path and a VMEM-fused Pallas kernel
-— see memory/tpu-perf-findings):
+(measured against a pad-materializing path, a VMEM-fused Pallas kernel, and
+concat/scatter variants — see memory/tpu-perf-findings):
 
-1. Concatenate the two *ghost columns* (W/E halo strips) onto the width
-   axis — one O(2/n) copy — and run the convolution with column padding
-   VALID / row padding zero.  Every output column is then exact; only the
-   first/last output *rows* miss their outside-row taps.
-2. Add the missing row contributions: for each face, a corner-extended
-   ghost-row strip contracted with the kernel's outside row — a tiny batched
-   ``(n+2, C) -> (n, Cout)`` windowed matmul — applied with a single row
-   concat (no scatter; an earlier version used 8 ``at[].add`` updates and
-   spent more time scattering than convolving).
+1. Zero-padded 'SAME' convolution — XLA's best-tuned path, with the weight
+   groups computed as one six-face conv with the equatorial kernel plus a
+   small two-face *correction* conv with ``k_pole - k_eq`` (one big call +
+   one small call measured faster than two medium group calls).
+2. The halo enters as four per-edge fix vectors — corner-extended ghost
+   strips contracted with the kernel's outside row/column (tiny batched
+   matmuls) — applied in a SINGLE fused elementwise pass over the output
+   using boundary masks.  No scatter (``at[].add``), no concat along minor
+   axes: both were measured to cost more than the convolution itself via
+   full-tensor relayouts.
 
 Everything is plain XLA: differentiable for free, bf16-native, and exactly
 equal (up to summation order) to ``cs_pad`` + VALID conv, pinned by
@@ -35,32 +36,32 @@ __all__ = ["cs_conv3x3_ringfix"]
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
-def _group_conv_rows_padded(xg, kernel):
-    """Conv a face group: rows zero-padded (1,1), cols VALID."""
+def _same_conv(xg, kernel):
+    """Zero-padded SAME conv with faces folded into batch."""
     b, f = xg.shape[0], xg.shape[1]
     merged = xg.reshape((b * f,) + xg.shape[2:])
     out = lax.conv_general_dilated(
         merged,
         kernel,
         window_strides=(1, 1),
-        padding=((1, 1), (0, 0)),
+        padding="SAME",
         dimension_numbers=_DIMSPEC,
         preferred_element_type=merged.dtype,
     )
     return out.reshape((b, f) + out.shape[1:])
 
 
-def _row_fix(ext, taps):
-    """Contract corner-extended ghost rows with the kernel's outside row.
+def _edge_fix(ext, taps):
+    """Contract a corner-extended ghost strip with 3 kernel taps.
 
-    ``ext``: (B, 6, n+2, C); ``taps``: (6, 3, Cin, Cout) per-face kernels
-    (dx-ordered).  Returns (B, 6, n, Cout).
+    ``ext``: (B, 6, n+2, Cin); ``taps``: (6, 3, Cin, Cout) per-face, ordered
+    along the strip direction.  Returns (B, 6, n, Cout).
     """
     n = ext.shape[-2] - 2
     win = jnp.stack(
         [ext[..., 0:n, :], ext[..., 1 : n + 1, :], ext[..., 2 : n + 2, :]],
         axis=-2,
-    )  # (B, 6, n, 3, C)
+    )  # (B, 6, n, 3, Cin)
     return jnp.einsum("bfntc,ftcd->bfnd", win, taps.astype(ext.dtype))
 
 
@@ -74,46 +75,64 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     if nf != 6 or n != n2:
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
 
-    strips = gather_halo_strips(x)  # (B, 6, 4, n, C) oriented [t]
+    # 1. base conv: k_eq everywhere + (k_pole - k_eq) correction on poles.
+    base = _same_conv(x, k_eq)
+    pole_fix = _same_conv(x[:, 4:], k_pole - k_eq)
+    out = jnp.concatenate([base[:, :4], base[:, 4:] + pole_fix], axis=1)
+
+    # 2. halo fix vectors from the oriented ghost strips.
+    strips = gather_halo_strips(x)  # (B, 6, 4, n, C)
     s_strip = strips[:, :, EDGE_S]
     n_strip = strips[:, :, EDGE_N]
     w_strip = strips[:, :, EDGE_W]
     e_strip = strips[:, :, EDGE_E]
-
-    # 1. ghost columns onto the width axis; conv handles all column taps.
-    xp = jnp.concatenate(
-        [w_strip[:, :, :, None, :], x, e_strip[:, :, :, None, :]], axis=3
-    )  # (B, 6, n, n+2, C)
-    # Weight groups as base + polar correction: ONE six-face conv with k_eq
-    # plus a 2-face conv with (k_pole - k_eq) — measured faster than two
-    # group convs (the 2-face call under-utilizes; one big call + one small
-    # beats two medium).
-    base = _group_conv_rows_padded(xp, k_eq)
-    pole_fix = _group_conv_rows_padded(xp[:, 4:], k_pole - k_eq)
-    out = jnp.concatenate([base[:, :4], base[:, 4:] + pole_fix], axis=1)
-
-    # 2. missing outside-row taps for the first/last output rows.
     # corner ghosts (B, 6, C): average of flanking edge-ghost ends
     sw = 0.5 * (s_strip[:, :, 0] + w_strip[:, :, 0])
     se = 0.5 * (s_strip[:, :, -1] + e_strip[:, :, 0])
     nw = 0.5 * (n_strip[:, :, 0] + w_strip[:, :, -1])
     ne = 0.5 * (n_strip[:, :, -1] + e_strip[:, :, -1])
-    s_ext = jnp.concatenate([sw[:, :, None], s_strip, se[:, :, None]], axis=2)
-    n_ext = jnp.concatenate([nw[:, :, None], n_strip, ne[:, :, None]], axis=2)
 
-    def row_taps(dy):
-        return jnp.stack([k_eq[dy]] * 4 + [k_pole[dy]] * 2, axis=0)
+    def ext(strip, lo, hi):
+        return jnp.concatenate([lo[:, :, None], strip, hi[:, :, None]], axis=2)
 
-    fix_s = _row_fix(s_ext, row_taps(0))  # (B, 6, n, Cout)
-    fix_n = _row_fix(n_ext, row_taps(2))
-    out = jnp.concatenate(
-        [
-            (out[:, :, 0] + fix_s)[:, :, None],
-            out[:, :, 1 : n - 1],
-            (out[:, :, n - 1] + fix_n)[:, :, None],
-        ],
-        axis=2,
+    def taps(sel):
+        return jnp.stack([k_eq[sel]] * 4 + [k_pole[sel]] * 2, axis=0)
+
+    # Missing-tap contributions per edge (kernel row dy / column dx outside).
+    fix_s = _edge_fix(ext(s_strip, sw, se), taps((0, slice(None))))  # row 0
+    fix_n = _edge_fix(ext(n_strip, nw, ne), taps((2, slice(None))))  # row n-1
+    fix_w = _edge_fix(ext(w_strip, sw, nw), taps((slice(None), 0)))  # col 0
+    fix_e = _edge_fix(ext(e_strip, se, ne), taps((slice(None), 2)))  # col n-1
+
+    # Corner double-count (each corner ghost entered via both edges).
+    def corner(ghost, dy, dx):
+        kk = jnp.stack([k_eq[dy, dx]] * 4 + [k_pole[dy, dx]] * 2, axis=0)
+        return jnp.einsum("bfc,fcd->bfd", ghost, kk.astype(ghost.dtype))
+
+    c_sw = corner(sw, 0, 0)
+    c_se = corner(se, 0, 2)
+    c_nw = corner(nw, 2, 0)
+    c_ne = corner(ne, 2, 2)
+
+    # 3. one fused masked-add pass: out[b,f,i,j,:] gains the edge fixes on
+    # its boundary ring and loses the corner duplicates.  All broadcasting
+    # elementwise ops — XLA fuses this with the conv output into one pass.
+    row = lax.broadcasted_iota(jnp.int32, (n, n), 0)[None, None, :, :, None]
+    col = lax.broadcasted_iota(jnp.int32, (n, n), 1)[None, None, :, :, None]
+    zero = jnp.zeros((), out.dtype)
+    ring = (
+        jnp.where(row == 0, fix_s[:, :, None, :, :], zero)
+        + jnp.where(row == n - 1, fix_n[:, :, None, :, :], zero)
+        + jnp.where(col == 0, fix_w[:, :, :, None, :], zero)
+        + jnp.where(col == n - 1, fix_e[:, :, :, None, :], zero)
+        - jnp.where((row == 0) & (col == 0), c_sw[:, :, None, None, :], zero)
+        - jnp.where((row == 0) & (col == n - 1), c_se[:, :, None, None, :], zero)
+        - jnp.where((row == n - 1) & (col == 0), c_nw[:, :, None, None, :], zero)
+        - jnp.where(
+            (row == n - 1) & (col == n - 1), c_ne[:, :, None, None, :], zero
+        )
     )
+    out = out + ring
 
     if bias_eq is not None or bias_pole is not None:
         zeros = jnp.zeros(out.shape[-1], out.dtype)

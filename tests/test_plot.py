@@ -1,0 +1,46 @@
+"""Plot helper smoke tests (Agg backend, file output)."""
+
+import numpy as np
+
+from dlwp_cs_tpu.plot import plot_cube_faces, plot_error_curves, plot_history
+from dlwp_cs_tpu.train import History
+
+
+def test_plot_cube_faces(tmp_path):
+    f = np.random.default_rng(0).normal(size=(6, 8, 8))
+    fig = plot_cube_faces(f, title="test", out_path=tmp_path / "faces.png")
+    assert (tmp_path / "faces.png").stat().st_size > 1000
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_plot_error_curves(tmp_path):
+    lead = np.arange(1, 11) * 6.0
+    curves = {"model": np.linspace(1, 5, 10), "persistence": np.linspace(2, 6, 10)}
+    fig = plot_error_curves(lead, curves, out_path=tmp_path / "err.png")
+    assert (tmp_path / "err.png").exists()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_plot_history(tmp_path):
+    h = History(
+        epochs=[
+            {"epoch": 0, "train_loss": 1.0, "val_loss": 1.1, "seconds": 1.0},
+            {"epoch": 1, "train_loss": 0.5, "val_loss": 0.6, "seconds": 1.0},
+        ]
+    )
+    fig = plot_history(h, out_path=tmp_path / "hist.png")
+    assert (tmp_path / "hist.png").exists()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_bad_shape_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        plot_cube_faces(np.zeros((5, 8, 8)))
