@@ -48,40 +48,48 @@ __all__ = [
 ]
 
 
+@functools.lru_cache(maxsize=32)
+def _strip_gather_indices(n: int) -> "np.ndarray":
+    """Flat cell indices (into 6*n*n) of all 24 oriented ghost strips.
+
+    Shape (6, 4, n): entry [f, e, t] is the source cell whose value becomes
+    the ghost beyond edge ``e`` of face ``f`` at along-edge position ``t``.
+    Derived from the verified edge table; turns halo-strip extraction into a
+    single gather (24 separate thin slices were a measured TPU cost).
+    """
+    import numpy as np
+
+    table = padding_plan(n, 1).table
+    idx = np.empty((6, 4, n), np.int32)
+    t = np.arange(n)
+    for f in range(6):
+        for e in range(4):
+            link = table[f][e]
+            g, e2 = link.face, link.edge
+            tt = t[::-1] if link.reverse else t
+            if e2 == EDGE_S:
+                i, j = np.zeros(n, np.int64), tt
+            elif e2 == EDGE_N:
+                i, j = np.full(n, n - 1), tt
+            elif e2 == EDGE_W:
+                i, j = tt, np.zeros(n, np.int64)
+            else:
+                i, j = tt, np.full(n, n - 1)
+            idx[f, e] = g * n * n + i * n + j
+    return idx
+
+
 def gather_halo_strips(x):
     """Oriented depth-1 ghost strips for every (face, edge).
 
     ``x``: ``(B, 6, n, n, C)`` -> ``(B, 6, 4, n, C)`` where ``[b, f, e, t]``
     is the ghost value beyond edge ``e`` of face ``f`` at along-edge position
-    ``t`` (already reversed where the seam demands it).
-
-    The big tensor is touched by exactly two compact slices (boundary rows,
-    boundary columns); all per-seam reorientation happens on the resulting
-    O(perimeter) tensors (24 thin strided slices of the full activation were
-    a measurable cost on TPU).
+    ``t`` (already reversed where the seam demands it).  One gather op.
     """
-    n = x.shape[-2]
-    table = padding_plan(n, 1).table
-    rows = jnp.stack([x[:, :, 0, :, :], x[:, :, n - 1, :, :]], axis=2)
-    cols = jnp.stack([x[:, :, :, 0, :], x[:, :, :, n - 1, :]], axis=2)
-    # rows/cols: (B, 6, 2, n, C) — [.., 0] = S/W boundary, [.., 1] = N/E.
-
-    def src(link):
-        g, e, rev = link.face, link.edge, link.reverse
-        if e == EDGE_S:
-            s = rows[:, g, 0]
-        elif e == EDGE_N:
-            s = rows[:, g, 1]
-        elif e == EDGE_W:
-            s = cols[:, g, 0]
-        else:
-            s = cols[:, g, 1]
-        return jnp.flip(s, axis=1) if rev else s
-
-    faces = []
-    for f in range(6):
-        faces.append(jnp.stack([src(table[f][e]) for e in range(4)], axis=1))
-    return jnp.stack(faces, axis=1)  # (B, 6, 4, n, C)
+    b, _, n, _, c = x.shape
+    idx = jnp.asarray(_strip_gather_indices(n).reshape(-1))
+    flat = x.reshape(b, 6 * n * n, c)
+    return jnp.take(flat, idx, axis=1).reshape(b, 6, 4, n, c)
 
 
 def _kernel(x_ref, strip_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad, *, n):

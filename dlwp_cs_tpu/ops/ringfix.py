@@ -51,20 +51,6 @@ def _same_conv(xg, kernel):
     return out.reshape((b, f) + out.shape[1:])
 
 
-def _edge_fix(ext, taps):
-    """Contract a corner-extended ghost strip with 3 kernel taps.
-
-    ``ext``: (B, 6, n+2, Cin); ``taps``: (6, 3, Cin, Cout) per-face, ordered
-    along the strip direction.  Returns (B, 6, n, Cout).
-    """
-    n = ext.shape[-2] - 2
-    win = jnp.stack(
-        [ext[..., 0:n, :], ext[..., 1 : n + 1, :], ext[..., 2 : n + 2, :]],
-        axis=-2,
-    )  # (B, 6, n, 3, Cin)
-    return jnp.einsum("bfntc,ftcd->bfnd", win, taps.astype(ext.dtype))
-
-
 def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     """Fused CS conv, 3x3/stride-1: ``(B, 6, n, n, Cin) -> (B, 6, n, n, Cout)``.
 
@@ -75,12 +61,13 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     if nf != 6 or n != n2:
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
 
-    # 1. base conv: k_eq everywhere + (k_pole - k_eq) correction on poles.
-    base = _same_conv(x, k_eq)
-    pole_fix = _same_conv(x[:, 4:], k_pole - k_eq)
-    out = jnp.concatenate([base[:, :4], base[:, 4:] + pole_fix], axis=1)
+    # 1. base conv per weight group (two calls measured cheaper than one
+    # six-face call plus a polar correction conv).
+    base_eq = _same_conv(x[:, :4], k_eq)
+    base_po = _same_conv(x[:, 4:], k_pole)
+    out = jnp.concatenate([base_eq, base_po], axis=1)
 
-    # 2. halo fix vectors from the oriented ghost strips.
+    # 2. halo fix vectors from the oriented ghost strips (one gather).
     strips = gather_halo_strips(x)  # (B, 6, 4, n, C)
     s_strip = strips[:, :, EDGE_S]
     n_strip = strips[:, :, EDGE_N]
@@ -95,24 +82,62 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     def ext(strip, lo, hi):
         return jnp.concatenate([lo[:, :, None], strip, hi[:, :, None]], axis=2)
 
-    def taps(sel):
-        return jnp.stack([k_eq[sel]] * 4 + [k_pole[sel]] * 2, axis=0)
+    # All four edges in ONE batched contraction per weight group: windows
+    # (E=4, B, nf, n, 3C) x taps (E=4, 3C, Cout), batched over E — eight
+    # separate einsums were a measured TPU cost (per-op overhead dominates
+    # at these sizes).
+    exts = jnp.stack(
+        [
+            ext(s_strip, sw, se),  # row 0 fix, taps K[0, :]
+            ext(n_strip, nw, ne),  # row n-1 fix, taps K[2, :]
+            ext(w_strip, sw, nw),  # col 0 fix, taps K[:, 0]
+            ext(e_strip, se, ne),  # col n-1 fix, taps K[:, 2]
+        ],
+        axis=0,
+    )  # (4, B, 6, n+2, C)
+    win = jnp.stack(
+        [exts[..., 0:n, :], exts[..., 1 : n + 1, :], exts[..., 2 : n + 2, :]],
+        axis=-2,
+    )  # (4, B, 6, n, 3, C)
+    win = win.reshape(4, b, 6, n, 3 * cin)
 
-    # Missing-tap contributions per edge (kernel row dy / column dx outside).
-    fix_s = _edge_fix(ext(s_strip, sw, se), taps((0, slice(None))))  # row 0
-    fix_n = _edge_fix(ext(n_strip, nw, ne), taps((2, slice(None))))  # row n-1
-    fix_w = _edge_fix(ext(w_strip, sw, nw), taps((slice(None), 0)))  # col 0
-    fix_e = _edge_fix(ext(e_strip, se, ne), taps((slice(None), 2)))  # col n-1
+    def edge_taps(k):
+        return jnp.stack(
+            [k[0].reshape(3 * cin, -1), k[2].reshape(3 * cin, -1),
+             k[:, 0].reshape(3 * cin, -1), k[:, 2].reshape(3 * cin, -1)],
+            axis=0,
+        )  # (4, 3C, Cout)
 
-    # Corner double-count (each corner ghost entered via both edges).
-    def corner(ghost, dy, dx):
-        kk = jnp.stack([k_eq[dy, dx]] * 4 + [k_pole[dy, dx]] * 2, axis=0)
-        return jnp.einsum("bfc,fcd->bfd", ghost, kk.astype(ghost.dtype))
+    def group_fix(win_g, taps_g):
+        # (4, B, nf, n, 3C) x (4, 3C, D) -> (4, B, nf, n, D)
+        return lax.dot_general(
+            win_g,
+            taps_g.astype(win_g.dtype),
+            dimension_numbers=(((4,), (1,)), ((0,), (0,))),
+        )
 
-    c_sw = corner(sw, 0, 0)
-    c_se = corner(se, 0, 2)
-    c_nw = corner(nw, 2, 0)
-    c_ne = corner(ne, 2, 2)
+    fix_eq = group_fix(win[:, :, :4], edge_taps(k_eq))
+    fix_po = group_fix(win[:, :, 4:], edge_taps(k_pole))
+    fixes = jnp.concatenate([fix_eq, fix_po], axis=2)  # (4, B, 6, n, Cout)
+    fix_s, fix_n, fix_w, fix_e = (fixes[i] for i in range(4))
+
+    # Corner double-count (each corner ghost entered via both edges):
+    # one small batched contraction for all four corners.
+    corners = jnp.stack([sw, se, nw, ne], axis=0)  # (4, B, 6, C)
+    ck_eq = jnp.stack([k_eq[0, 0], k_eq[0, 2], k_eq[2, 0], k_eq[2, 2]], axis=0)
+    ck_po = jnp.stack(
+        [k_pole[0, 0], k_pole[0, 2], k_pole[2, 0], k_pole[2, 2]], axis=0
+    )
+    c_eq = lax.dot_general(
+        corners[:, :, :4], ck_eq.astype(corners.dtype),
+        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+    )
+    c_po = lax.dot_general(
+        corners[:, :, 4:], ck_po.astype(corners.dtype),
+        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+    )
+    c_all = jnp.concatenate([c_eq, c_po], axis=2)  # (4, B, 6, Cout)
+    c_sw, c_se, c_nw, c_ne = (c_all[i] for i in range(4))
 
     # 3. one fused masked-add pass: out[b,f,i,j,:] gains the edge fixes on
     # its boundary ring and loses the corner duplicates.  All broadcasting
