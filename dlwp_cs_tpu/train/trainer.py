@@ -79,6 +79,9 @@ class Trainer:
         checkpoints under it.
       profile_steps: if ``(start, stop)``, captures a jax profiler trace of
         those global steps into ``workdir/profile``.
+      mesh: optional ``('data', 'spatial')`` mesh — enables GSPMD
+        data-parallel training (batch sharded over 'data'; global batch must
+        divide by the data axis size).
     """
 
     def __init__(
@@ -89,12 +92,25 @@ class Trainer:
         area_weights=None,
         workdir: str | Path | None = None,
         profile_steps: tuple[int, int] | None = None,
+        mesh=None,
     ):
         self.model = model
         self.cfg = cfg
         self.optimizer = make_optimizer(cfg)
         self.loss_fn = make_loss_fn(cfg, area_weights)
-        self.train_step = make_train_step(model.apply, self.optimizer, self.loss_fn)
+        self.mesh = mesh
+        if mesh is None:
+            self.train_step = make_train_step(
+                model.apply, self.optimizer, self.loss_fn
+            )
+        else:
+            # GSPMD data-parallel step over the mesh's 'data' axis
+            # (SURVEY.md §7 M5 / BASELINE config 4).
+            from dlwp_cs_tpu.parallel.sharding import make_dp_train_step
+
+            self.train_step = make_dp_train_step(
+                model.apply, self.optimizer, self.loss_fn, mesh
+            )
         self.eval_step = make_eval_step(model.apply, self.loss_fn)
         self.workdir = Path(workdir) if workdir is not None else None
         self.profile_steps = profile_steps
@@ -154,6 +170,10 @@ class Trainer:
                 except StopIteration:
                     break
                 data_wait = time.perf_counter() - t_wait
+                if self.mesh is not None:
+                    from dlwp_cs_tpu.parallel.sharding import shard_batch
+
+                    inputs, targets = shard_batch((inputs, targets), self.mesh)
                 gstep = int(state.step)
                 if self.profile_steps is not None and gstep == self.profile_steps[0]:
                     jax.profiler.start_trace(str(self.workdir / "profile"))

@@ -1,0 +1,99 @@
+"""Example 5: autoregressive sequence fine-tuning.
+
+Workflow parity with the reference's multi-output multi-time-step training
+(``DLWPFunctional`` — SURVEY.md §2 row 7): after (or instead of) standard
+single-window training, fine-tune with the model applied ``k`` times
+autoregressively per step and the loss averaged over all ``k`` windows — the
+standard recipe for long-rollout stability.  The inner rollout runs as a
+``lax.scan`` inside the jitted train step.
+
+Usage:
+  python examples/05_sequence_train.py --workdir /tmp/dlwp [--sequence 3]
+      [--steps 200]  (expects 01_build_dataset.py to have run)
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dlwp_cs_tpu.data import SeriesDataset, open_store
+from dlwp_cs_tpu.geometry import CubedSphere
+from dlwp_cs_tpu.models import CubeSphereUNet, DataConfig, TrainConfig, UNetConfig
+from dlwp_cs_tpu.train import (
+    init_state,
+    make_optimizer,
+    make_sequence_loss,
+    make_sequence_train_step,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--sequence", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--filters", type=int, nargs="+", default=[8, 16])
+    ap.add_argument("--lr", type=float, default=5e-4)
+    args = ap.parse_args()
+    workdir = Path(args.workdir)
+
+    store = open_store(workdir / "predictors_cs.h5").load()
+    n = store.grid_n
+    cs = CubedSphere(n)
+    lat, lon = cs.cell_latlon
+    dcfg = DataConfig(grid_n=n, variables=store.variables, constants=store.constant_names)
+    ds = SeriesDataset(
+        store, dcfg, lat=lat, lon=lon, batch_size=args.batch,
+        shuffle=True, sequence=args.sequence,
+    )
+
+    model = CubeSphereUNet(
+        UNetConfig(output_channels=dcfg.output_channels, filters=tuple(args.filters))
+    )
+    constants = None
+    if store.constants is not None and len(dcfg.constants):
+        names = list(store.constant_names)
+        constants = store.constants[..., [names.index(c) for c in dcfg.constants]]
+    loss = make_sequence_loss(
+        model.apply,
+        dcfg,
+        lat=lat,
+        lon=lon,
+        constants=constants,
+        insol_mean=ds.insol_mean,
+        insol_std=ds.insol_std,
+        sequence=args.sequence,
+    )
+    opt = make_optimizer(TrainConfig(learning_rate=args.lr))
+    step = make_sequence_train_step(loss, opt)
+
+    window0, _, _ = ds.make_batch(ds._starts[:1])
+    x0 = jnp.zeros((1, 6, n, n, dcfg.input_channels))
+    params = model.init(__import__("jax").random.PRNGKey(0), x0)
+    state = init_state(params, opt)
+
+    done = 0
+    losses = []
+    while done < args.steps:
+        for window, targets, t0 in ds:
+            state, m = step(
+                state, jnp.asarray(window), jnp.asarray(t0), jnp.asarray(targets)
+            )
+            losses.append(float(m["loss"]))
+            done += 1
+            if done % 20 == 0:
+                print(f"step {done}: seq-loss {np.mean(losses[-20:]):.5f}")
+            if done >= args.steps:
+                break
+    print(f"final sequence loss (mean of last 20): {np.mean(losses[-20:]):.5f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
