@@ -108,39 +108,59 @@ def main() -> int:
     print("[bench] compiling train step...", file=sys.stderr, flush=True)
 
     # --- config 2: full train step throughput -----------------------------
-    # (state buffers are donated, so thread the state through the loop)
+    # (state buffers are donated, so thread the state through the loop; the
+    # scalar loss readback each iteration forces a true device sync — plain
+    # block_until_ready under-measures through this environment's remote
+    # dispatch tunnel)
     for _ in range(3):  # compile + warmup
         state, _m = step(state, x, y)
-    jax.block_until_ready(state.params)
+    float(_m["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, _m = step(state, x, y)
-    jax.block_until_ready(state.params)
+        float(_m["loss"])
     t_step = (time.perf_counter() - t0) / iters
     gridpoints = batch * 6 * n * n
     gps = gridpoints / t_step
 
     # --- op-level baseline comparison (same hardware, same shapes) --------
+    # Methodology: chain CHAIN fwd+bwd conv steps inside one jitted lax.scan
+    # and read back a scalar — per-call host timing through the remote
+    # dispatch tunnel is unreliable (see PERF.md).
+    from jax import lax
+
     cin, cout = 64, 64
+    chain_len = 2 if smoke else 10
     xo = jnp.asarray(rng.normal(size=(batch, 6, n, n, cin)).astype(np.float32))
     k_eq = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)) * 0.05
     k_po = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)) * 0.05
 
-    def fused_fwdbwd(xo):
-        def f(xo):
-            return jnp.sum(cs_conv(xo, k_eq, k_po) ** 2)
+    def chained_fwdbwd(conv_fn):
+        @jax.jit
+        def run(x0):
+            def body(h, _):
+                g = jax.grad(lambda v: jnp.sum(conv_fn(v) ** 2))(h)
+                return h - 1e-6 * g, None
 
-        return jax.grad(f)(xo)
+            h, _ = lax.scan(body, x0, None, length=chain_len)
+            return jnp.sum(h)
 
-    def naive_fwdbwd(xo):
-        def f(xo):
-            return jnp.sum(naive_reference_conv(xo, k_eq, k_po) ** 2)
+        return run
 
-        return jax.grad(f)(xo)
+    def time_chain(run):
+        float(run(xo))  # compile + warmup
+        t_best = float("inf")
+        for _ in range(max(2, iters // 3)):
+            t0 = time.perf_counter()
+            float(run(xo))
+            t_best = min(t_best, time.perf_counter() - t0)
+        return t_best / chain_len
 
     print("[bench] compiling op-level fused/naive paths...", file=sys.stderr, flush=True)
-    t_fused = _timeit(jax.jit(fused_fwdbwd), xo, iters=iters)
-    t_naive = _timeit(jax.jit(naive_fwdbwd), xo, iters=iters)
+    t_fused = time_chain(chained_fwdbwd(lambda v: cs_conv(v, k_eq, k_po)))
+    t_naive = time_chain(
+        chained_fwdbwd(lambda v: naive_reference_conv(v, k_eq, k_po))
+    )
     speedup = t_naive / t_fused
 
     # --- config 3: 56-step rollout wall-clock (reported to stderr) --------
@@ -166,9 +186,17 @@ def main() -> int:
         )
     )
     print("[bench] compiling rollout...", file=sys.stderr, flush=True)
-    fc = rollout(state.params, window, 9000.0)
-    jax.block_until_ready(fc.fields)
-    t_roll = _timeit(lambda: rollout(state.params, window, 9000.0), iters=max(3, iters // 2))
+
+    def run_roll():
+        fc = rollout(state.params, window, 9000.0)
+        return float(fc.fields[0, 0, 0, 0, 0, 0])  # forced scalar sync
+
+    run_roll()  # compile
+    t_roll = float("inf")
+    for _ in range(max(3, iters // 2)):
+        t0 = time.perf_counter()
+        run_roll()
+        t_roll = min(t_roll, time.perf_counter() - t0)
 
     print(
         f"[bench] n={n} batch={batch} step={t_step * 1e3:.2f}ms "
