@@ -13,8 +13,6 @@ uniform longitudes.  Spectral layout: complex coefficients ``[m, l]`` on a
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax.numpy as jnp

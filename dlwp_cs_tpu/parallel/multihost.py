@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from dlwp_cs_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS, create_mesh
+from dlwp_cs_tpu.parallel.mesh import create_mesh
 
 __all__ = ["initialize_distributed", "global_mesh", "host_batch_slice"]
 

@@ -15,10 +15,7 @@ SURVEY.md §2 row 12) with the two TPU-native modes of SURVEY.md §7 M5/M6:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,7 +13,6 @@ from dlwp_cs_tpu.ops import (
     cs_avg_pool,
     cs_conv,
     cs_max_pool,
-    cs_pad,
     cs_upsample,
     latitude_weighted_loss,
     latlon_conv,

@@ -1,7 +1,5 @@
 """Model tests: UNet forward, param grouping, config round-trip, registry."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 

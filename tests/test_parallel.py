@@ -7,7 +7,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from dlwp_cs_tpu.geometry import CubedSphere
 from dlwp_cs_tpu.models import CubeSphereUNet, TrainConfig, UNetConfig
 from dlwp_cs_tpu.ops import cs_pad, mse
 from dlwp_cs_tpu.parallel import (
