@@ -26,17 +26,10 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, warmup=2, iters=10):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _wall(fn):
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    fn()
+    return time.perf_counter() - t0
 
 
 def naive_reference_conv(x, k_eq, k_pole, width=1):
@@ -108,18 +101,30 @@ def main() -> int:
     print("[bench] compiling train step...", file=sys.stderr, flush=True)
 
     # --- config 2: full train step throughput -----------------------------
-    # (state buffers are donated, so thread the state through the loop; the
-    # scalar loss readback each iteration forces a true device sync — plain
-    # block_until_ready under-measures through this environment's remote
-    # dispatch tunnel)
-    for _ in range(3):  # compile + warmup
-        state, _m = step(state, x, y)
-    float(_m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, _m = step(state, x, y)
-        float(_m["loss"])
-    t_step = (time.perf_counter() - t0) / iters
+    # Timing methodology: this environment dispatches through a remote
+    # tunnel with ~tens-of-ms fixed latency per synchronizing call, and
+    # block_until_ready alone under-measures.  All timings below are
+    # DIFFERENTIAL: run N_big and N_small iterations (async dispatch
+    # pipelines them on-device) with one scalar readback at the end, and
+    # divide the difference — fixed overhead cancels exactly.
+    def run_steps(state, k):
+        for _ in range(k):
+            state, m = step(state, x, y)
+        float(m["loss"])  # single sync
+        return state
+
+    state = run_steps(state, 2)  # compile + warmup
+    n_small, n_big = 2, 2 + 3 * iters
+
+    def t_of(k):
+        nonlocal state
+        t0 = time.perf_counter()
+        state = run_steps(state, k)
+        return time.perf_counter() - t0
+
+    t_small = min(t_of(n_small) for _ in range(2))
+    t_big = min(t_of(n_big) for _ in range(2))
+    t_step = max((t_big - t_small) / (n_big - n_small), 1e-9)
     gridpoints = batch * 6 * n * n
     gps = gridpoints / t_step
 
@@ -130,37 +135,38 @@ def main() -> int:
     from jax import lax
 
     cin, cout = 64, 64
-    chain_len = 2 if smoke else 10
+    k_small, k_big = (2, 6) if smoke else (5, 35)
     xo = jnp.asarray(rng.normal(size=(batch, 6, n, n, cin)).astype(np.float32))
     k_eq = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)) * 0.05
     k_po = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)) * 0.05
 
-    def chained_fwdbwd(conv_fn):
+    def chained_fwdbwd(conv_fn, length):
         @jax.jit
         def run(x0):
             def body(h, _):
                 g = jax.grad(lambda v: jnp.sum(conv_fn(v) ** 2))(h)
                 return h - 1e-6 * g, None
 
-            h, _ = lax.scan(body, x0, None, length=chain_len)
+            h, _ = lax.scan(body, x0, None, length=length)
             return jnp.sum(h)
 
         return run
 
-    def time_chain(run):
-        float(run(xo))  # compile + warmup
-        t_best = float("inf")
-        for _ in range(max(2, iters // 3)):
-            t0 = time.perf_counter()
-            float(run(xo))
-            t_best = min(t_best, time.perf_counter() - t0)
-        return t_best / chain_len
+    def time_chain(conv_fn):
+        # differential over two chain lengths cancels fixed call overhead
+        runs = {k: chained_fwdbwd(conv_fn, k) for k in (k_small, k_big)}
+        ts = {}
+        for k, run in runs.items():
+            float(run(xo))  # compile + warmup
+            ts[k] = min(
+                _wall(lambda: float(run(xo)))
+                for _ in range(max(2, iters // 3))
+            )
+        return max((ts[k_big] - ts[k_small]) / (k_big - k_small), 1e-9)
 
     print("[bench] compiling op-level fused/naive paths...", file=sys.stderr, flush=True)
-    t_fused = time_chain(chained_fwdbwd(lambda v: cs_conv(v, k_eq, k_po)))
-    t_naive = time_chain(
-        chained_fwdbwd(lambda v: naive_reference_conv(v, k_eq, k_po))
-    )
+    t_fused = time_chain(lambda v: cs_conv(v, k_eq, k_po))
+    t_naive = time_chain(lambda v: naive_reference_conv(v, k_eq, k_po))
     speedup = t_naive / t_fused
 
     # --- config 3: 56-step rollout wall-clock (reported to stderr) --------
@@ -187,16 +193,16 @@ def main() -> int:
     )
     print("[bench] compiling rollout...", file=sys.stderr, flush=True)
 
-    def run_roll():
-        fc = rollout(state.params, window, 9000.0)
-        return float(fc.fields[0, 0, 0, 0, 0, 0])  # forced scalar sync
+    def run_rolls(k):
+        for _ in range(k):
+            fc = rollout(state.params, window, 9000.0)
+        return float(fc.fields[0, 0, 0, 0, 0, 0])  # single sync
 
-    run_roll()  # compile
-    t_roll = float("inf")
-    for _ in range(max(3, iters // 2)):
-        t0 = time.perf_counter()
-        run_roll()
-        t_roll = min(t_roll, time.perf_counter() - t0)
+    run_rolls(1)  # compile
+    r_small, r_big = 1, 5
+    tr_small = min(_wall(lambda: run_rolls(r_small)) for _ in range(3))
+    tr_big = min(_wall(lambda: run_rolls(r_big)) for _ in range(3))
+    t_roll = max((tr_big - tr_small) / (r_big - r_small), 1e-9)
 
     print(
         f"[bench] n={n} batch={batch} step={t_step * 1e3:.2f}ms "
