@@ -126,6 +126,24 @@ class Trainer:
         params = self.model.init(jax.random.PRNGKey(seed), sample_inputs)
         return init_state(params, self.optimizer)
 
+    def restore_or_init(self, sample_inputs, seed: int | None = None) -> TrainState:
+        """Resume from the latest workdir checkpoint, else fresh init.
+
+        The fail-stop recovery story (SURVEY.md §5.3): a crashed run is
+        restarted with the same command and picks up at its last periodic
+        checkpoint — restoration is idempotent by step.
+        """
+        template = self.init(sample_inputs, seed)
+        if self.workdir is None:
+            return template
+        from dlwp_cs_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        ckpt_dir = self.workdir / "checkpoints"
+        if latest_step(ckpt_dir) is None:
+            return template
+        state, _ = restore_checkpoint(ckpt_dir, template)
+        return state
+
     def _log(self, record: dict) -> None:
         if self._metrics_file is not None:
             self._metrics_file.write(json.dumps(record) + "\n")

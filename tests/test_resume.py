@@ -1,0 +1,45 @@
+"""Checkpoint-resume: a restarted trainer picks up from its last checkpoint."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dlwp_cs_tpu.models import CubeSphereUNet, TrainConfig, UNetConfig
+from dlwp_cs_tpu.train import Trainer
+
+N = 8
+
+
+def _setup(tmp_path):
+    model = CubeSphereUNet(UNetConfig(output_channels=2, filters=(4,)))
+    cfg = TrainConfig(learning_rate=1e-2, checkpoint_every_epochs=1, max_epochs=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 6, N, N, 3)).astype(np.float32))
+    y = 0.5 * x[..., :2]
+    return model, cfg, x, y
+
+
+def test_restore_or_init_roundtrip(tmp_path):
+    model, cfg, x, y = _setup(tmp_path)
+    t1 = Trainer(model, cfg, workdir=tmp_path)
+    state = t1.restore_or_init(x)  # fresh (no checkpoints yet)
+    assert int(state.step) == 0
+    state = t1.fit(state, [(x, y)], verbose=False)
+    steps_done = int(state.step)
+    assert steps_done > 0
+
+    # "crash" and restart: a new trainer resumes from the checkpoint
+    import jax
+
+    t2 = Trainer(model, cfg, workdir=tmp_path)
+    resumed = t2.restore_or_init(x)
+    assert int(resumed.step) == steps_done
+    for a, b in zip(jax.tree.leaves(resumed.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_or_init_without_workdir(tmp_path):
+    model, cfg, x, y = _setup(tmp_path)
+    t = Trainer(model, cfg)  # no workdir
+    state = t.restore_or_init(x)
+    assert int(state.step) == 0
