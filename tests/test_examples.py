@@ -1,0 +1,61 @@
+"""End-to-end integration: run the example workflow scripts (tiny sizes).
+
+The examples are the de-facto CLI (SURVEY.md §2 row 20); this test drives
+the full dataset -> train -> forecast -> evaluate chain as subprocesses the
+way a user would, against a temp workdir.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(script, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["MPLBACKEND"] = "Agg"
+    env["PYTHONPATH"] = str(REPO)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / script), *args],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, f"{script} failed:\n{out.stdout}\n{out.stderr}"
+    return out.stdout
+
+
+@pytest.mark.slow
+def test_full_example_chain(tmp_path):
+    wd = str(tmp_path)
+    _run(
+        "01_build_dataset.py",
+        "--workdir", wd, "--grid", "16", "--nlat", "32", "--nlon", "64",
+        "--days", "40",
+    )
+    assert (tmp_path / "predictors_cs.h5").exists()
+    _run(
+        "02_train.py",
+        "--workdir", wd, "--epochs", "2", "--batch", "8",
+        "--filters", "4", "8", "--lr", "2e-3",
+    )
+    assert (tmp_path / "model" / "experiment.json").exists()
+    _run("03_forecast.py", "--workdir", wd, "--days", "2", "--inits", "2")
+    fz = np.load(tmp_path / "forecast.npz", allow_pickle=True)
+    assert fz["fields"].shape[0] == 2
+    out = _run("04_evaluate.py", "--workdir", wd)
+    assert "RMSE" in out
+    assert (tmp_path / "rmse_curves.png").exists()
+    # metrics jsonl written by the trainer
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    kinds = {json.loads(l)["kind"] for l in lines}
+    assert kinds == {"step", "epoch"}
