@@ -6,6 +6,7 @@ from dlwp_cs_tpu.models.config import (
     TrainConfig,
     UNetConfig,
 )
+from dlwp_cs_tpu.models.latlon_unet import LatLonConv2D, LatLonUNet
 from dlwp_cs_tpu.models.layers import CubeSphereConv2D
 from dlwp_cs_tpu.models.registry import (
     SequentialSpec,
@@ -20,6 +21,8 @@ __all__ = [
     "ExperimentConfig",
     "TrainConfig",
     "UNetConfig",
+    "LatLonConv2D",
+    "LatLonUNet",
     "CubeSphereConv2D",
     "SequentialSpec",
     "freeze_spec",

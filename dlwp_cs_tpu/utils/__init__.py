@@ -14,6 +14,7 @@ from dlwp_cs_tpu.utils.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
     save_json,
+    wait_for_checkpoints,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "restore_checkpoint",
     "save_checkpoint",
     "save_json",
+    "wait_for_checkpoints",
 ]

@@ -19,6 +19,7 @@ import orbax.checkpoint as ocp
 
 __all__ = [
     "save_checkpoint",
+    "wait_for_checkpoints",
     "restore_checkpoint",
     "latest_step",
     "save_json",
@@ -30,16 +31,45 @@ def _root(path) -> Path:
     return Path(path).absolute()
 
 
-def save_checkpoint(path, state, *, step: int, extras: dict | None = None) -> Path:
-    """Write ``state`` (any pytree) under ``path/step_{step}``; returns dir."""
+_ASYNC_CKPTR: ocp.AsyncCheckpointer | None = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(
+    path, state, *, step: int, extras: dict | None = None, background: bool = False
+) -> Path:
+    """Write ``state`` (any pytree) under ``path/step_{step}``; returns dir.
+
+    ``background=True`` uses orbax async checkpointing (SURVEY.md §5.4):
+    device buffers are snapshotted and the write proceeds off the critical
+    path; call :func:`wait_for_checkpoints` (or save again) before relying
+    on the files.
+    """
     root = _root(path)
     root.mkdir(parents=True, exist_ok=True)
     target = root / f"step_{step}"
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(target / "state", state, force=True)
+    if background:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # at most one outstanding save
+        ckptr.save(target / "state", args=ocp.args.StandardSave(state), force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(target / "state", state, force=True)
     if extras is not None:
         save_json(target / "extras.json", extras)
     return target
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any background checkpoint writes are durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def restore_checkpoint(path, target_state, *, step: int | None = None):
