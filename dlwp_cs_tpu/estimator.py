@@ -73,8 +73,12 @@ class DLWPEstimator:
 
     # -- training ----------------------------------------------------------
     def fit(self, store, *, val_store=None, workdir=None, epochs=None,
-            verbose: bool = True):
-        """Train on a predictor store; returns self."""
+            mesh=None, verbose: bool = True):
+        """Train on a predictor store; returns self.
+
+        ``mesh``: optional device mesh for GSPMD data-parallel training
+        (batch sharded over the 'data' axis).
+        """
         train_ds = self._dataset(store, shuffle=True)
         self._capture_stats(store, train_ds)
         val_ds = self._dataset(val_store, shuffle=False) if val_store else None
@@ -87,6 +91,7 @@ class DLWPEstimator:
                 else None
             ),
             workdir=workdir,
+            mesh=mesh,
         )
         if self.state is None:
             x0, _ = train_ds.make_batch(train_ds._starts[:1])
