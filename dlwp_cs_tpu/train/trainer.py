@@ -18,6 +18,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dlwp_cs_tpu.models.config import TrainConfig
@@ -238,12 +239,19 @@ class Trainer:
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
                 self._checkpoint(state, epoch)
             monitored = train_loss if val_loss is None else val_loss
-            if stopper.update(epoch, monitored, state.params):
+            # Snapshot params to HOST memory before tracking as "best": the
+            # jitted train step donates its state, so the device buffers of
+            # this epoch's params are invalidated by the next epoch's first
+            # step — storing them by reference would make best-weights
+            # restore return deleted arrays.
+            best_candidate = jax.tree.map(np.asarray, state.params)
+            if stopper.update(epoch, monitored, best_candidate):
                 if verbose:
                     print(f"early stopping at epoch {epoch} (best={stopper.best:.6f})")
                 break
         if cfg.restore_best_weights and stopper.best_params is not None:
-            state = TrainState(stopper.best_params, state.opt_state, state.step)
+            best = jax.tree.map(jnp.asarray, stopper.best_params)
+            state = TrainState(best, state.opt_state, state.step)
         return state
 
 
