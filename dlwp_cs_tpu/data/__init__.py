@@ -7,6 +7,7 @@ from dlwp_cs_tpu.data.prefetch import PrefetchIterator, prefetch_to_device
 from dlwp_cs_tpu.data.preprocessing import Preprocessor
 from dlwp_cs_tpu.data.series import SeriesDataset, insolation_stats
 from dlwp_cs_tpu.data.store import H5Store, MemoryStore, open_store, write_store
+from dlwp_cs_tpu.data.tscache import TSStore, open_ts_cache, write_ts_cache
 
 __all__ = [
     "fold_time",
@@ -25,4 +26,7 @@ __all__ = [
     "MemoryStore",
     "open_store",
     "write_store",
+    "TSStore",
+    "open_ts_cache",
+    "write_ts_cache",
 ]
