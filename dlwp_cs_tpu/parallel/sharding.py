@@ -33,6 +33,7 @@ from dlwp_cs_tpu.train.train_step import TrainState
 
 __all__ = [
     "make_dp_train_step",
+    "make_dp_eval_step",
     "make_spatial_train_step",
     "make_spatial_apply",
     "shard_batch",
@@ -70,6 +71,20 @@ def make_dp_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
         in_shardings=in_shardings,
         out_shardings=(rep, rep),
         donate_argnums=(0,),
+    )
+
+
+def make_dp_eval_step(apply_fn, loss_fn, mesh: Mesh):
+    """GSPMD data-parallel eval step (params replicated, batch sharded)."""
+
+    def step(params, inputs, targets):
+        return {"loss": loss_fn(apply_fn(params, inputs), targets)}
+
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, batch_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=rep,
     )
 
 

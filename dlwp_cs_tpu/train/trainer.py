@@ -112,7 +112,12 @@ class Trainer:
             self.train_step = make_dp_train_step(
                 model.apply, self.optimizer, self.loss_fn, mesh
             )
-        self.eval_step = make_eval_step(model.apply, self.loss_fn)
+        if mesh is None:
+            self.eval_step = make_eval_step(model.apply, self.loss_fn)
+        else:
+            from dlwp_cs_tpu.parallel.sharding import make_dp_eval_step
+
+            self.eval_step = make_dp_eval_step(model.apply, self.loss_fn, mesh)
         self.workdir = Path(workdir) if workdir is not None else None
         self.profile_steps = profile_steps
         self.history = History()
@@ -216,10 +221,15 @@ class Trainer:
             train_loss = float(np.mean(losses)) if losses else float("nan")
             val_loss = None
             if val_data is not None:
-                vlosses = [
-                    float(self.eval_step(state.params, vi, vt)["loss"])
-                    for vi, vt in _epoch_iter(val_data)
-                ]
+                vlosses = []
+                for vi, vt in _epoch_iter(val_data):
+                    if self.mesh is not None:
+                        from dlwp_cs_tpu.parallel.sharding import shard_batch
+
+                        vi, vt = shard_batch((vi, vt), self.mesh)
+                    vlosses.append(
+                        float(self.eval_step(state.params, vi, vt)["loss"])
+                    )
                 val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
             dt = time.perf_counter() - t0
             rec = {
