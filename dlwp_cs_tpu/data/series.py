@@ -56,6 +56,10 @@ class SeriesDataset:
         so this exists for API parity and external consumers.
       impute: replace NaNs with 0 (the post-normalization mean) — the
         reference's ``impute_missing`` analog.
+      sample_slice: optional ``slice`` restricting which window starts this
+        dataset serves — the per-host input-sharding hook for multi-host
+        training (each host constructs its own disjoint slice, e.g. via
+        ``parallel.multihost.host_batch_slice`` semantics over samples).
       sequence: if set to ``k``, batches are for autoregressive multi-step
         training (the reference generator's ``sequence`` mode):
         ``(window (B, Tin, 6, n, n, C) raw normalized fields,
@@ -80,6 +84,7 @@ class SeriesDataset:
         scale: bool = True,
         channels_last: bool = True,
         impute: bool = False,
+        sample_slice: slice | None = None,
         sequence: int | None = None,
         seed: int = 0,
     ):
@@ -109,6 +114,10 @@ class SeriesDataset:
                 f"store has {t_total} samples; window needs > {span}"
             )
         self._starts = np.arange(0, t_total - span, sample_stride)
+        if sample_slice is not None:
+            self._starts = self._starts[sample_slice]
+            if len(self._starts) == 0:
+                raise ValueError(f"sample_slice {sample_slice} selects no samples")
         if cfg.add_insolation:
             self.insol_mean, self.insol_std = insolation_stats(self.lat, self.lon)
         else:

@@ -231,3 +231,18 @@ class TestPreprocessor:
         pre = Preprocessor({"x": np.zeros((3, 4, 8))}, lats, lons, np.arange(3))
         with pytest.raises(ValueError):
             pre.data_to_series(8, variables=["nope"])
+
+
+class TestSampleSlice:
+    def test_per_host_sample_sharding(self):
+        full = _dataset()
+        half1 = _dataset(sample_slice=slice(0, full.n_samples // 2))
+        half2 = _dataset(sample_slice=slice(full.n_samples // 2, None))
+        assert half1.n_samples + half2.n_samples == full.n_samples
+        assert set(half1._starts).isdisjoint(half2._starts)
+
+    def test_empty_slice_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            _dataset(sample_slice=slice(0, 0))
