@@ -19,7 +19,14 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["ERA5Reanalysis", "read_netcdf_var", "netcdf_time_to_epoch_days"]
+__all__ = [
+    "ERA5Reanalysis",
+    "read_era5_file",
+    "read_netcdf_var",
+    "cf_time_to_epoch_days",
+    "parse_cf_time_units",
+    "netcdf_time_to_epoch_days",
+]
 
 # Short name -> (CDS dataset, CDS variable name, pressure-level product?)
 VARIABLE_TABLE = {
@@ -40,9 +47,75 @@ VARIABLE_TABLE = {
 # Hours between 1900-01-01 (ERA5 time epoch) and 2000-01-01 (ours).
 _ERA5_EPOCH_OFFSET_HOURS = 876_576.0
 
+_CF_UNIT_DAYS = {
+    "day": 1.0,
+    "days": 1.0,
+    "d": 1.0,
+    "hour": 1.0 / 24.0,
+    "hours": 1.0 / 24.0,
+    "hr": 1.0 / 24.0,
+    "hrs": 1.0 / 24.0,
+    "h": 1.0 / 24.0,
+    "minute": 1.0 / 1440.0,
+    "minutes": 1.0 / 1440.0,
+    "min": 1.0 / 1440.0,
+    "mins": 1.0 / 1440.0,
+    "second": 1.0 / 86400.0,
+    "seconds": 1.0 / 86400.0,
+    "sec": 1.0 / 86400.0,
+    "secs": 1.0 / 86400.0,
+    "s": 1.0 / 86400.0,
+}
+
+
+def parse_cf_time_units(units: str) -> tuple[float, float]:
+    """Parse a CF time ``units`` string like ``'hours since 1900-01-01'``.
+
+    Returns ``(scale_days, ref_offset_days)`` such that
+    ``epoch_days = values * scale_days + ref_offset_days`` gives days since
+    2000-01-01 00 UTC.  Handles the legacy CDS epoch (hours since 1900), the
+    current one (``seconds since 1970-01-01``), and any other
+    ``<unit> since <ISO datetime>`` combination.
+    """
+    import datetime
+    import re
+
+    if isinstance(units, bytes):
+        units = units.decode()
+    m = re.match(r"\s*([A-Za-z]+)\s+since\s+(.+?)\s*$", str(units))
+    if not m:
+        raise ValueError(f"unparseable CF time units {units!r}")
+    unit, ref = m.group(1).lower(), m.group(2).strip()
+    if unit not in _CF_UNIT_DAYS:
+        raise ValueError(f"unknown CF time unit {unit!r} in {units!r}")
+    ref = ref.replace("T", " ").removesuffix("Z").strip()
+    # tolerate fractional-second and UTC-offset suffixes fromisoformat chokes on
+    ref = re.sub(r"(\.\d+)?(\s*[+-]\d{2}:?\d{2})?$", "", ref).strip()
+    try:
+        if " " in ref:
+            ref_dt = datetime.datetime.fromisoformat(ref)
+        else:
+            ref_dt = datetime.datetime.combine(
+                datetime.date.fromisoformat(ref), datetime.time()
+            )
+    except ValueError as e:
+        raise ValueError(f"unparseable reference date in CF units {units!r}") from e
+    offset = (ref_dt - datetime.datetime(2000, 1, 1)).total_seconds() / 86400.0
+    return _CF_UNIT_DAYS[unit], offset
+
+
+def cf_time_to_epoch_days(values, units: str) -> np.ndarray:
+    """CF-encoded time values + units -> float64 days since 2000-01-01 00 UTC."""
+    scale, offset = parse_cf_time_units(units)
+    return np.asarray(values, np.float64) * scale + offset
+
 
 def netcdf_time_to_epoch_days(hours_since_1900) -> np.ndarray:
-    """ERA5 'hours since 1900-01-01' -> days since 2000-01-01 00 UTC."""
+    """ERA5 'hours since 1900-01-01' -> days since 2000-01-01 00 UTC.
+
+    Legacy fixed-epoch helper; prefer :func:`cf_time_to_epoch_days`, which
+    parses the file's actual ``units`` attribute.
+    """
     return (np.asarray(hours_since_1900, np.float64) - _ERA5_EPOCH_OFFSET_HOURS) / 24.0
 
 
@@ -159,36 +232,114 @@ class ERA5Reanalysis:
         """
         sources = {}
         lats = lons = times = None
+        ref_path = None
         for var in variables:
             _, _, has_levels = VARIABLE_TABLE[var]
             for level in levels if has_levels else ["single"]:
                 path = self._target(var, level)
                 if not path.exists():
                     raise FileNotFoundError(path)
-                data = read_netcdf_var(path, _guess_payload_name(path))
-                la = np.deg2rad(read_netcdf_var(path, "latitude"))
-                lo = np.deg2rad(read_netcdf_var(path, "longitude"))
-                tm = netcdf_time_to_epoch_days(read_netcdf_var(path, "time"))
-                if la[0] > la[-1]:  # ERA5 ships north->south; flip ascending
-                    la = la[::-1]
-                    data = data[:, ::-1]
+                data, la, lo, tm = read_era5_file(path)
                 key = (
                     var_key_format.format(var=var, level=level)
                     if has_levels
                     else var
                 )
                 sources[key] = data
-                lats, lons, times = la, lo, tm
+                if lats is None:
+                    lats, lons, times, ref_path = la, lo, tm, path
+                else:
+                    # grids/time axes MUST match across files — a silent
+                    # misalignment here corrupts every downstream sample.
+                    for name, a, b in (
+                        ("latitude", lats, la),
+                        ("longitude", lons, lo),
+                        ("time", times, tm),
+                    ):
+                        if a.shape != b.shape or not np.allclose(a, b):
+                            raise ValueError(
+                                f"{name} axis of {path} does not match "
+                                f"{ref_path}; refusing to merge misaligned files"
+                            )
         return sources, lats, lons, times
+
+
+# Coordinate / bookkeeping variable names across CDS product generations:
+# legacy ('time', 'level') and current ('valid_time', 'pressure_level',
+# 'expver' as a per-time label, 'number' ensemble dim).
+_COORD_NAMES = {
+    "latitude",
+    "longitude",
+    "lat",
+    "lon",
+    "time",
+    "valid_time",
+    "level",
+    "pressure_level",
+    "isobaricInhPa",
+    "expver",
+    "number",
+}
+
+
+def read_era5_file(path):
+    """Read one ERA5 netCDF file -> ``(data (T,H,W), lats_rad, lons_rad,
+    times_days)``.
+
+    Handles both CDS schemas: legacy (``time`` in hours since 1900, optional
+    ``(T, expver, H, W)`` ERA5/ERA5T split) and current (``valid_time`` in
+    seconds since 1970, ``expver`` as a per-time string label).  The time
+    axis is decoded from the variable's own CF ``units`` attribute — never a
+    hardcoded epoch.  Latitudes are flipped ascending; longitudes left in
+    [0, 360) degrees -> radians.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        time_name = next((n for n in ("time", "valid_time") if n in f), None)
+        if time_name is None:
+            raise KeyError(f"no time coordinate (time/valid_time) in {path}")
+        units = f[time_name].attrs.get("units", None)
+        lat_name = "latitude" if "latitude" in f else "lat"
+        lon_name = "longitude" if "longitude" in f else "lon"
+        expver_len = f["expver"].shape[0] if "expver" in f else None
+    if units is None:
+        raise ValueError(
+            f"time variable {time_name!r} in {path} has no CF 'units' "
+            "attribute; cannot decode the epoch safely"
+        )
+    tm = cf_time_to_epoch_days(read_netcdf_var(path, time_name), units)
+    la = np.deg2rad(read_netcdf_var(path, lat_name))
+    lo = np.deg2rad(read_netcdf_var(path, lon_name))
+    data = read_netcdf_var(path, _guess_payload_name(path))
+    # squeeze singleton ensemble/level axes: (T, 1, H, W) -> (T, H, W)
+    while data.ndim > 3 and 1 in data.shape[1:-2]:
+        ax = 1 + data.shape[1:-2].index(1)
+        data = np.squeeze(data, axis=ax)
+    if data.ndim == 4 and expver_len is not None and data.shape[1] == expver_len:
+        # legacy ERA5/ERA5T split: each time exists in exactly one expver
+        # slice (NaN in the other) — collapse by first-finite.
+        out = data[:, 0]
+        for i in range(1, data.shape[1]):
+            out = np.where(np.isnan(out), data[:, i], out)
+        data = out
+    if data.ndim != 3:
+        raise ValueError(
+            f"payload in {path} has shape {data.shape}; expected (T, H, W) "
+            "after squeezing — is this a multi-level file?"
+        )
+    if la[0] > la[-1]:  # ERA5 ships north->south; flip ascending
+        la = la[::-1]
+        data = data[:, ::-1]
+    return data, la, lo, tm
 
 
 def _guess_payload_name(path) -> str:
     """Pick the payload variable in a netCDF file (not a coordinate)."""
     import h5py
 
-    skip = {"latitude", "longitude", "time", "level", "expver", "number"}
     with h5py.File(path, "r") as f:
-        names = [k for k in f.keys() if k not in skip]
+        names = [k for k in f.keys() if k not in _COORD_NAMES]
     if len(names) != 1:
         raise ValueError(f"ambiguous payload variables {names} in {path}")
     return names[0]

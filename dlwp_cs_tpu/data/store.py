@@ -70,11 +70,22 @@ class MemoryStore:
     @classmethod
     def from_raw(cls, fields, times, variables, constants=None, constant_names=(),
                  attrs=None):
-        """Compute mean/std from the data itself (build-time normalization)."""
+        """Compute mean/std from the data itself (build-time normalization).
+
+        NaN-aware: variables with masked regions (e.g. sst over land) get
+        stats over the valid cells only, so normalization never NaNs the
+        whole channel (imputation handles the gaps downstream).
+        """
+        import warnings
+
         fields = np.asarray(fields, dtype=np.float32)
-        mean = fields.mean(axis=(0, 1, 2, 3), dtype=np.float64)
-        std = fields.std(axis=(0, 1, 2, 3), dtype=np.float64)
-        std = np.where(std < 1e-12, 1.0, std)
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+            mean = np.nanmean(fields, axis=(0, 1, 2, 3), dtype=np.float64)
+            std = np.nanstd(fields, axis=(0, 1, 2, 3), dtype=np.float64)
+        # all-NaN / constant channels: identity normalization
+        mean = np.where(np.isfinite(mean), mean, 0.0)
+        std = np.where(~np.isfinite(std) | (std < 1e-12), 1.0, std)
         return cls(
             fields=fields,
             times=np.asarray(times, dtype=np.float64),

@@ -142,7 +142,10 @@ class DLWPEstimator:
             insol_mean=self.stats["insol_mean"],
             insol_std=self.stats["insol_std"],
         )
-        t0 = float(np.asarray(store.times)[init_indices[0]])
+        # Per-init valid times: each batch member gets insolation at its OWN
+        # init time (a scalar here would silently phase-shift every member
+        # after the first by up to (B-1)*dt of diurnal forcing).
+        t0 = jnp.asarray(np.asarray(store.times)[init_indices], jnp.float32)
         return est.predict(jnp.asarray(windows), t0, steps=steps)
 
     def denormalize(self, fields):

@@ -95,6 +95,11 @@ class TrainConfig:
     area_weighted_loss: bool = False
     loss: str = "mse"  # 'mse' | 'mae'
     grad_clip_norm: float | None = None
+    # Fetch step metrics from device every k steps (and at epoch end).
+    # 1 = synchronous (old behavior); >1 keeps the host off the critical
+    # path — with this environment's ~25 ms dispatch/readback overhead a
+    # per-step sync can double real step time (PERF.md).
+    metrics_every: int = 8
     seed: int = 0
 
 

@@ -79,18 +79,35 @@ def make_rollout_fn(
         constants = jnp.asarray(constants)
 
     def input_insolation(t_days):
-        """Normalized insolation channels for the input window ending at t."""
+        """Normalized insolation channels for the input window ending at t.
+
+        ``t_days`` may be a scalar (shared init time) or a ``(B,)`` vector of
+        per-batch-member init times; the returned channels are ``(T_in, 6, n,
+        n)`` or ``(B, T_in, 6, n, n)`` respectively (both accepted by
+        :func:`pack_inputs`).
+        """
         if not data_cfg.add_insolation:
             return None
         offsets = (jnp.arange(t_in) - (t_in - 1)) * dt_days
-        times = t_days + offsets
-        ins = insolation(times[:, None, None, None], lat, lon)
+        if t_days.ndim == 0:
+            times = t_days + offsets  # (T_in,)
+        else:
+            times = t_days[:, None] + offsets[None, :]  # (B, T_in)
+        ins = insolation(times[..., None, None, None], lat, lon)
         return (ins - insol_mean) / insol_std
 
     def rollout(params, window, t0_days) -> Forecast:
         if window.ndim != 6 or window.shape[1] != t_in:
             raise ValueError(
                 f"window must be (B, {t_in}, 6, n, n, C), got {window.shape}"
+            )
+        t0_days = jnp.asarray(t0_days, jnp.float32)
+        if t0_days.ndim not in (0, 1) or (
+            t0_days.ndim == 1 and t0_days.shape[0] != window.shape[0]
+        ):
+            raise ValueError(
+                "t0_days must be a scalar or a (B,) vector matching the "
+                f"window batch {window.shape[0]}, got shape {t0_days.shape}"
             )
 
         def scan_step(carry, _):
@@ -101,7 +118,6 @@ def make_rollout_fn(
             new_window = jnp.concatenate([window, out_window], axis=1)[:, -t_in:]
             return (new_window, t_days + t_out * dt_days), out_window
 
-        t0_days = jnp.asarray(t0_days, jnp.float32)
         (_, _), outs = lax.scan(
             scan_step, (window, t0_days), None, length=steps, unroll=unroll
         )

@@ -180,9 +180,46 @@ class Trainer:
         stopper = EarlyStoppingMin(
             patience=cfg.early_stopping_patience, min_epochs=cfg.min_epochs
         )
+        # Host-side step counter: reading int(state.step) every step would be
+        # a hidden device sync (the step counter lives on-device).
+        gstep = int(state.step)
+        metrics_every = max(1, int(getattr(cfg, "metrics_every", 1)))
         for epoch in range(epochs):
             t0 = time.perf_counter()
-            losses = []
+            losses: list[float] = []
+            # Buffered metric fetch: the jitted step returns device arrays;
+            # converting them per step (float(...)) is a ~25 ms sync in this
+            # environment (ADVICE r1) that serializes dispatch with compute.
+            # We keep the device handles and fetch in ONE device_get every
+            # `metrics_every` steps / at epoch end, so the host stays ahead.
+            pending: list[tuple[int, Any, float, float]] = []
+            t_flush = time.perf_counter()
+
+            def flush():
+                nonlocal t_flush
+                if not pending:
+                    return
+                fetched = jax.device_get([m for _, m, _, _ in pending])
+                wall = (time.perf_counter() - t_flush) / len(pending)
+                for (step_i, _, dispatch_s, data_wait), m in zip(pending, fetched):
+                    loss = float(m["loss"])
+                    losses.append(loss)
+                    rec = {
+                        "kind": "step",
+                        "step": step_i,
+                        "loss": loss,
+                        "grad_norm": float(m["grad_norm"]),
+                        # amortized wall seconds/step incl. compute (honest
+                        # under buffered fetch); dispatch_s is host-only time
+                        "step_s": wall,
+                        "dispatch_s": dispatch_s,
+                        "data_wait_s": data_wait,
+                    }
+                    self.history.steps.append(rec)
+                    self._log(rec)
+                pending.clear()
+                t_flush = time.perf_counter()
+
             it = iter(_epoch_iter(train_data))
             while True:
                 # Separate input-wait from compute: data_wait_s exposes input-
@@ -198,26 +235,18 @@ class Trainer:
                     from dlwp_cs_tpu.parallel.sharding import shard_batch
 
                     inputs, targets = shard_batch((inputs, targets), self.mesh)
-                gstep = int(state.step)
                 if self.profile_steps is not None and gstep == self.profile_steps[0]:
                     jax.profiler.start_trace(str(self.workdir / "profile"))
                 t_step = time.perf_counter()
                 state, metrics = self.train_step(state, inputs, targets)
-                loss = float(metrics["loss"])  # sync point
-                step_time = time.perf_counter() - t_step
+                dispatch_s = time.perf_counter() - t_step
                 if self.profile_steps is not None and gstep == self.profile_steps[1]:
                     jax.profiler.stop_trace()
-                losses.append(loss)
-                rec = {
-                    "kind": "step",
-                    "step": gstep,
-                    "loss": loss,
-                    "grad_norm": float(metrics["grad_norm"]),
-                    "step_s": step_time,
-                    "data_wait_s": data_wait,
-                }
-                self.history.steps.append(rec)
-                self._log(rec)
+                pending.append((gstep, metrics, dispatch_s, data_wait))
+                gstep += 1
+                if len(pending) >= metrics_every:
+                    flush()
+            flush()
             train_loss = float(np.mean(losses)) if losses else float("nan")
             val_loss = None
             if val_data is not None:

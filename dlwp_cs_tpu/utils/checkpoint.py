@@ -82,10 +82,25 @@ def restore_checkpoint(path, target_state, *, step: int | None = None):
     """
     root = _root(path)
     if step is None:
-        step = latest_step(root)
-        if step is None:
+        # Auto-selected: walk complete steps newest-first, falling back past
+        # any checkpoint a crash left unreadable (a step_N dir can exist with
+        # extras.json while the async state write was still in flight).
+        candidates = sorted(_complete_steps(root), reverse=True)
+        if not candidates:
             raise FileNotFoundError(f"no checkpoints under {root}")
-    target = root / f"step_{step}"
+        last_err = None
+        for s in candidates:
+            try:
+                return _restore_step(root / f"step_{s}", target_state)
+            except Exception as e:  # corrupt/partial — try the previous one
+                last_err = e
+        raise RuntimeError(
+            f"all checkpoints under {root} failed to restore"
+        ) from last_err
+    return _restore_step(root / f"step_{step}", target_state)
+
+
+def _restore_step(target: Path, target_state):
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(target / "state", target_state)
     extras_path = target / "extras.json"
@@ -93,17 +108,28 @@ def restore_checkpoint(path, target_state, *, step: int | None = None):
     return state, extras
 
 
-def latest_step(path) -> int | None:
-    root = _root(path)
+def _complete_steps(root: Path) -> list[int]:
+    """Steps whose orbax state write has been finalized.
+
+    Orbax commits atomically (tmp dir renamed to ``state``), so the presence
+    of ``step_N/state`` is the durability marker; a crash mid-async-save
+    leaves only the tmp dir (plus possibly extras.json) and must not be
+    selected as "latest".
+    """
     if not root.exists():
-        return None
+        return []
     steps = []
     for p in root.iterdir():
-        if p.is_dir() and p.name.startswith("step_"):
+        if p.is_dir() and p.name.startswith("step_") and (p / "state").exists():
             try:
                 steps.append(int(p.name.split("_", 1)[1]))
             except ValueError:
                 continue
+    return steps
+
+
+def latest_step(path) -> int | None:
+    steps = _complete_steps(_root(path))
     return max(steps) if steps else None
 
 

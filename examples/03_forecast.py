@@ -92,10 +92,13 @@ def main() -> int:
         insol_mean=stats["insol_mean"],
         insol_std=stats["insol_std"],
     )
-    # one batched rollout over all initializations (same start offsets)
+    # one batched rollout over all initializations, each with insolation at
+    # its OWN init time (a per-member (B,) t0 vector)
     import jax.numpy as jnp
 
-    fc = est.predict(jnp.asarray(windows), float(t0s[0]), steps=calls)
+    fc = est.predict(
+        jnp.asarray(windows), jnp.asarray(t0s, jnp.float32), steps=calls
+    )
     fields = np.asarray(fc.fields) * std + mean  # de-normalize
     np.savez(
         workdir / "forecast.npz",

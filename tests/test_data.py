@@ -73,6 +73,43 @@ class TestStore:
         assert isinstance(m, MemoryStore)
         back.close()
 
+    def test_partially_nan_channel_stats_and_impute(self):
+        # sst-over-land analog: NaNs in one channel must not NaN its stats,
+        # and impute=True must fill ONLY the masked cells (with the valid-cell
+        # mean, i.e. 0 after normalization), not zero the whole channel.
+        rng = np.random.default_rng(5)
+        fields = rng.normal(size=(T, 6, N, N, CVAR)).astype(np.float32) * 5 + 3
+        mask = rng.random((6, N, N)) < 0.3
+        fields[:, mask, 1] = np.nan
+        s = MemoryStore.from_raw(fields, np.arange(T) * 0.25, ("z500", "sst"))
+        assert np.all(np.isfinite(s.mean)) and np.all(np.isfinite(s.std))
+        valid = fields[..., 1][~np.isnan(fields[..., 1])]
+        np.testing.assert_allclose(s.mean[1], valid.mean(), rtol=1e-5)
+        np.testing.assert_allclose(s.std[1], valid.std(), rtol=1e-4)
+        ds = _dataset(
+            s,
+            cfg=DataConfig(
+                grid_n=N,
+                variables=("z500", "sst"),
+                input_time_steps=2,
+                output_time_steps=2,
+                add_insolation=False,
+            ),
+            impute=True,
+        )
+        x, y = next(iter(ds))
+        assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+        # valid cells keep real (non-zero) normalized values
+        sst_in = x[..., 1::CVAR][:, ~mask]
+        assert float(np.abs(sst_in).max()) > 0.5
+        # masked cells are exactly the fill value 0
+        assert np.all(x[..., 1::CVAR][:, mask] == 0.0)
+
+    def test_all_nan_channel_degrades_gracefully(self):
+        fields = np.full((10, 6, N, N, 1), np.nan, np.float32)
+        s = MemoryStore.from_raw(fields, np.arange(10.0), ("dead",))
+        assert s.mean[0] == 0.0 and s.std[0] == 1.0
+
     def test_shape_validation(self):
         with pytest.raises(ValueError):
             MemoryStore.from_raw(

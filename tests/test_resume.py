@@ -38,6 +38,27 @@ def test_restore_or_init_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_crashed_async_save_falls_back_to_previous(tmp_path):
+    """A step dir left by a crash mid-async-write (extras.json + orbax tmp,
+    no finalized ``state``) must not be selected as latest; resume falls back
+    to the previous durable checkpoint."""
+    from dlwp_cs_tpu.utils import latest_step, restore_checkpoint, save_checkpoint
+
+    model, cfg, x, y = _setup(tmp_path)
+    t = Trainer(model, cfg, workdir=tmp_path)
+    state = t.restore_or_init(x)
+    save_checkpoint(tmp_path / "checkpoints", state, step=3, extras={"ok": 1})
+    # simulate the crash artifacts of an in-flight background save at step 5
+    crashed = tmp_path / "checkpoints" / "step_5"
+    (crashed / "state.orbax-checkpoint-tmp-123").mkdir(parents=True)
+    (crashed / "extras.json").write_text("{}")
+    assert latest_step(tmp_path / "checkpoints") == 3
+    restored, extras = restore_checkpoint(tmp_path / "checkpoints", state)
+    assert extras == {"ok": 1}
+    resumed = t.restore_or_init(x)  # full resume path also lands on step 3
+    assert int(resumed.step) == int(state.step)
+
+
 def test_restore_or_init_without_workdir(tmp_path):
     model, cfg, x, y = _setup(tmp_path)
     t = Trainer(model, cfg)  # no workdir

@@ -210,6 +210,52 @@ class TestRollout:
             np.asarray(fc.fields), ref, rtol=2e-4, atol=2e-5
         )
 
+    def test_batched_t0_matches_per_member_scalar_rollouts(self):
+        # A (B,) t0 vector must give each batch member insolation at its OWN
+        # init time — identical to rolling each member out alone with its
+        # scalar t0 (the bug this pins: scalar-broadcast t0 phase-shifted
+        # members 1..B-1 by up to (B-1)*dt of diurnal forcing).
+        model, state, lat, lon, consts = self._setup()
+        rng = np.random.default_rng(7)
+        window = jnp.asarray(
+            rng.normal(size=(3, 2, 6, N, N, 2)).astype(np.float32)
+        )
+        t0s = jnp.asarray([10.0, 10.25, 117.5], jnp.float32)
+        rollout = make_rollout_fn(
+            model.apply,
+            DCFG,
+            lat=lat,
+            lon=lon,
+            constants=consts,
+            insol_mean=300.0,
+            insol_std=400.0,
+            steps=2,
+        )
+        batched = jax.jit(rollout)(state.params, window, t0s)
+        for b in range(3):
+            single = jax.jit(rollout)(
+                state.params, window[b : b + 1], t0s[b]
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched.fields[b]),
+                np.asarray(single.fields[0]),
+                rtol=2e-4,
+                atol=2e-5,
+            )
+        # and the members genuinely differ (insolation actually varies)
+        assert not np.allclose(
+            np.asarray(batched.fields[0]), np.asarray(batched.fields[1])
+        )
+
+    def test_bad_t0_shape(self):
+        model, state, lat, lon, consts = self._setup()
+        rollout = make_rollout_fn(
+            model.apply, DCFG, lat=lat, lon=lon, constants=consts, steps=1
+        )
+        w = jnp.zeros((2, 2, 6, N, N, 2))
+        with pytest.raises(ValueError):
+            rollout(state.params, w, jnp.zeros((3,)))  # B mismatch
+
     def test_estimator_wrapper(self):
         model, state, lat, lon, consts = self._setup()
         est = TimeSeriesEstimator(
