@@ -54,8 +54,12 @@ class SeriesDataset:
       channels_last: if False, emit ``(B, C, 6, n, n)`` (the reference's
         channels-first generator option); the compute path is channels-last,
         so this exists for API parity and external consumers.
-      impute: replace NaNs with 0 (the post-normalization mean) — the
-        reference's ``impute_missing`` analog.
+      impute: the reference's ``impute_missing`` analog.  ``False``: NaNs
+        pass through.  ``True`` / ``'zero'``: fill NaNs with 0 (the
+        post-normalization valid-cell mean).  ``'cell_mean'``: fill each
+        masked cell with its OWN time-mean (a fitted per-feature imputer,
+        like the reference's sklearn Imputer) — cells that are NaN at every
+        time fall back to 0.
       sample_slice: optional ``slice`` restricting which window starts this
         dataset serves — the per-host input-sharding hook for multi-host
         training (each host constructs its own disjoint slice, e.g. via
@@ -83,7 +87,7 @@ class SeriesDataset:
         drop_remainder: bool = True,
         scale: bool = True,
         channels_last: bool = True,
-        impute: bool = False,
+        impute: bool | str = False,
         sample_slice: slice | None = None,
         sequence: int | None = None,
         seed: int = 0,
@@ -98,7 +102,14 @@ class SeriesDataset:
         self.drop_remainder = bool(drop_remainder)
         self.scale = bool(scale)
         self.channels_last = bool(channels_last)
-        self.impute = bool(impute)
+        if impute is True:
+            impute = "zero"
+        if impute not in (False, "zero", "cell_mean"):
+            raise ValueError(
+                f"impute must be False/True/'zero'/'cell_mean', got {impute!r}"
+            )
+        self.impute = impute
+        self._impute_fill_cache: np.ndarray | None = None
         self.sequence = None if sequence is None else int(sequence)
         if self.sequence is not None and self.sequence < 1:
             raise ValueError(f"sequence must be >= 1, got {sequence}")
@@ -173,12 +184,46 @@ class SeriesDataset:
             return x
         return (x - self._mean) / self._std
 
+    def _impute_fill(self) -> np.ndarray:
+        """(6, n, n, C) per-cell fill values for ``impute='cell_mean'``.
+
+        The per-cell time-mean over valid samples (the fitted imputer),
+        normalized like the fields; cells with no valid sample fall back to
+        0 (the channel mean post-normalization).  Computed once, streamed in
+        chunks so H5-backed stores never load fully.
+        """
+        if self._impute_fill_cache is None:
+            fields = self.store.fields
+            tot = np.zeros(fields.shape[1:], np.float64)
+            cnt = np.zeros(fields.shape[1:], np.int64)
+            for lo in range(0, fields.shape[0], 64):
+                blk = np.asarray(fields[lo : lo + 64], dtype=np.float64)
+                m = np.isfinite(blk)
+                tot += np.where(m, blk, 0.0).sum(axis=0)
+                cnt += m.sum(axis=0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                fill = self._normalize(tot / np.maximum(cnt, 1))
+            fill = np.where(cnt > 0, fill, 0.0 if self.scale else np.nan)
+            self._impute_fill_cache = np.nan_to_num(
+                fill.astype(np.float32), copy=False
+            )
+        return self._impute_fill_cache
+
+    def _impute_window(self, win: np.ndarray) -> np.ndarray:
+        """Fill NaNs in a normalized (B, T, 6, n, n, C) window."""
+        if self.impute == "cell_mean":
+            return np.where(np.isnan(win), self._impute_fill(), win)
+        return np.nan_to_num(win, copy=False)
+
     def make_batch(self, starts: np.ndarray):
         """Assemble one (inputs, targets) pair for the given window starts."""
         cfg = self.cfg
         idx_in, idx_out = self._window_indices(starts)
         x_win = self._normalize(self._gather(idx_in))  # (B, Tin, 6, n, n, C)
         y_win = self._normalize(self._gather(idx_out))  # (B, Tout', 6, n, n, C)
+        if self.impute:
+            x_win = self._impute_window(x_win)
+            y_win = self._impute_window(y_win)
         b, t_in = x_win.shape[:2]
         if self.sequence is not None:
             # sequence mode: raw window + stacked target windows + t0 clock
@@ -187,9 +232,6 @@ class SeriesDataset:
                 [_fold(y_win[:, s * t_out : (s + 1) * t_out]) for s in range(k)],
                 axis=1,
             )
-            if self.impute:
-                x_win = np.nan_to_num(x_win, copy=False)
-                targets = np.nan_to_num(targets, copy=False)
             t0 = np.asarray(self.store.times)[
                 starts + (t_in - 1) * self.interval
             ].astype(np.float32)
@@ -210,9 +252,6 @@ class SeriesDataset:
             )
         inputs = np.concatenate(parts, axis=-1)
         targets = _fold(y_win)
-        if self.impute:
-            inputs = np.nan_to_num(inputs, copy=False)
-            targets = np.nan_to_num(targets, copy=False)
         if not self.channels_last:
             inputs = np.moveaxis(inputs, -1, 1)
             targets = np.moveaxis(targets, -1, 1)

@@ -69,8 +69,14 @@ class MemoryStore:
 
     @classmethod
     def from_raw(cls, fields, times, variables, constants=None, constant_names=(),
-                 attrs=None):
-        """Compute mean/std from the data itself (build-time normalization).
+                 attrs=None, scaler: str = "standard"):
+        """Compute normalization stats from the data itself (build time).
+
+        ``scaler``: ``'standard'`` (per-channel mean/std — the reference's
+        default) or ``'minmax'`` (maps the observed range to [0, 1] — the
+        reference's ``scaler_type='MinMaxScaler'`` option, stored as
+        ``mean=min, std=max-min`` so the ``(x - mean) / std`` pipeline is
+        unchanged).  The choice is recorded in ``attrs['scaler']``.
 
         NaN-aware: variables with masked regions (e.g. sst over land) get
         stats over the valid cells only, so normalization never NaNs the
@@ -81,11 +87,23 @@ class MemoryStore:
         fields = np.asarray(fields, dtype=np.float32)
         with np.errstate(invalid="ignore"), warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
-            mean = np.nanmean(fields, axis=(0, 1, 2, 3), dtype=np.float64)
-            std = np.nanstd(fields, axis=(0, 1, 2, 3), dtype=np.float64)
+            if scaler == "standard":
+                mean = np.nanmean(fields, axis=(0, 1, 2, 3), dtype=np.float64)
+                std = np.nanstd(fields, axis=(0, 1, 2, 3), dtype=np.float64)
+            elif scaler == "minmax":
+                lo = np.nanmin(fields, axis=(0, 1, 2, 3))
+                hi = np.nanmax(fields, axis=(0, 1, 2, 3))
+                mean = lo.astype(np.float64)
+                std = (hi - lo).astype(np.float64)
+            else:
+                raise ValueError(
+                    f"scaler must be 'standard' or 'minmax', got {scaler!r}"
+                )
         # all-NaN / constant channels: identity normalization
         mean = np.where(np.isfinite(mean), mean, 0.0)
         std = np.where(~np.isfinite(std) | (std < 1e-12), 1.0, std)
+        attrs = dict(attrs or {})
+        attrs.setdefault("scaler", scaler)
         return cls(
             fields=fields,
             times=np.asarray(times, dtype=np.float64),
@@ -94,7 +112,7 @@ class MemoryStore:
             std=std,
             constants=None if constants is None else np.asarray(constants, np.float32),
             constant_names=tuple(constant_names),
-            attrs=dict(attrs or {}),
+            attrs=attrs,
         )
 
 

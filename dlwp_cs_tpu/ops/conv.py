@@ -98,6 +98,23 @@ def cs_conv(
         return cs_conv3x3_ringfix(
             x, kernel_eq, kernel_pole, bias_eq=bias_eq, bias_pole=bias_pole
         )
+    if backend == "same" and is_3x3s1:
+        # Perf-ablation lower bound: per-face zero-padded SAME convs with NO
+        # cross-face halo — numerically WRONG at face boundaries; exists to
+        # measure the halo machinery's cost (tools/ablate_step.py).  Non-3x3
+        # shapes (e.g. the 1x1 head) fall through to the generic path.
+        from dlwp_cs_tpu.ops.ringfix import _same_conv
+
+        out = jnp.concatenate(
+            [_same_conv(x[:, :4], kernel_eq), _same_conv(x[:, 4:], kernel_pole)],
+            axis=1,
+        )
+        if bias_eq is not None:
+            zeros = jnp.zeros(out.shape[-1], out.dtype)
+            b_po = zeros if bias_pole is None else bias_pole
+            bias = jnp.stack([bias_eq] * 4 + [b_po] * 2, axis=0)
+            out = out + bias[None, :, None, None, :].astype(out.dtype)
+        return out
     if backend == "ringfix" and not is_3x3s1:
         raise ValueError(
             f"ringfix backend requires 3x3/stride-1/dilation-1, got "
@@ -119,8 +136,11 @@ def cs_conv(
         xp = x  # 1x1 conv: no halo needed
     else:
         xp = cs_pad(x, w)
-    eq = _group_conv(xp[:, list(EQUATORIAL_FACES)], kernel_eq, stride, dilation)
-    pole = _group_conv(xp[:, list(POLAR_FACES)], kernel_pole, stride, dilation)
+    # contiguous slices, not fancy indexing: a list-index lowers to a gather
+    # whose VJP is a scatter (slow on TPU); a slice's VJP is a pad.
+    assert EQUATORIAL_FACES == (0, 1, 2, 3) and POLAR_FACES == (4, 5)
+    eq = _group_conv(xp[:, :4], kernel_eq, stride, dilation)
+    pole = _group_conv(xp[:, 4:], kernel_pole, stride, dilation)
     if bias_eq is not None:
         eq = eq + bias_eq
     if bias_pole is not None:

@@ -49,8 +49,15 @@ def cs_upsample(x, factor: int = 2, method: str = "nearest"):
     """
     _check(x)
     if method == "nearest":
-        out = jnp.repeat(x, factor, axis=-3)
-        return jnp.repeat(out, factor, axis=-2)
+        # broadcast+reshape instead of jnp.repeat: repeat lowers to a gather
+        # whose VJP is a scatter (slow on TPU); broadcast's VJP is a reduce.
+        h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
+        lead = x.shape[:-3]
+        out = jnp.broadcast_to(
+            x[..., :, None, :, None, :],
+            lead + (h, factor, w, factor, c),
+        )
+        return out.reshape(lead + (h * factor, w * factor, c))
     if method == "bilinear":
         h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
         lead = x.shape[:-3]

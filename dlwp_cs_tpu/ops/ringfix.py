@@ -5,19 +5,24 @@ The fastest formulation found for 3x3/stride-1 CS convolution on TPU
 concat/scatter variants — see memory/tpu-perf-findings):
 
 1. Zero-padded 'SAME' convolution — XLA's best-tuned path, with the weight
-   groups computed as one six-face conv with the equatorial kernel plus a
-   small two-face *correction* conv with ``k_pole - k_eq`` (one big call +
-   one small call measured faster than two medium group calls).
-2. The halo enters as four per-edge fix vectors — corner-extended ghost
-   strips contracted with the kernel's outside row/column (tiny batched
-   matmuls) — applied in a SINGLE fused elementwise pass over the output
-   using boundary masks.  No scatter (``at[].add``), no concat along minor
-   axes: both were measured to cost more than the convolution itself via
-   full-tensor relayouts.
+   groups computed as one four-face conv with the equatorial kernel plus a
+   two-face polar conv (one big call + one small call measured faster than
+   padded-group alternatives).
+2. The halo enters as four per-edge fix vectors — the corner-extended ghost
+   strips from :func:`dlwp_cs_tpu.ops.halo.ext_strips` contracted with the
+   kernel's outside row/column (tiny batched matmuls) — applied in a SINGLE
+   fused elementwise pass over the output using boundary masks.  No scatter
+   (``at[].add``), no concat along minor axes: both were measured to cost
+   more than the convolution itself via full-tensor relayouts.
 
-Everything is plain XLA: differentiable for free, bf16-native, and exactly
-equal (up to summation order) to ``cs_pad`` + VALID conv, pinned by
-tests/test_ringfix.py.
+Backward matters as much as forward for training: every op here has a
+scatter-free VJP — convs differentiate to convs, dots to dots, masks to
+selects, and the one gather (inside ``ext_strips``) carries a custom
+transpose-gather VJP.  The full train step's HLO contains zero scatters
+(pinned by tests/test_ringfix.py).
+
+Everything is plain XLA: differentiable, bf16-native, and exactly equal (up
+to summation order) to ``cs_pad`` + VALID conv, pinned by tests.
 
 Reference parity: CubeSpherePadding2D + CubeSphereConv2D fused
 (``DLWP/custom.py`` — SURVEY.md §2 rows 1-2).
@@ -29,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
-from dlwp_cs_tpu.ops.pallas_conv import gather_halo_strips
+from dlwp_cs_tpu.ops.halo import ext_strips
 
 __all__ = ["cs_conv3x3_ringfix"]
 
@@ -67,41 +72,23 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     base_po = _same_conv(x[:, 4:], k_pole)
     out = jnp.concatenate([base_eq, base_po], axis=1)
 
-    # 2. halo fix vectors from the oriented ghost strips (one gather).
-    strips = gather_halo_strips(x)  # (B, 6, 4, n, C)
-    s_strip = strips[:, :, EDGE_S]
-    n_strip = strips[:, :, EDGE_N]
-    w_strip = strips[:, :, EDGE_W]
-    e_strip = strips[:, :, EDGE_E]
-    # corner ghosts (B, 6, C): average of flanking edge-ghost ends
-    sw = 0.5 * (s_strip[:, :, 0] + w_strip[:, :, 0])
-    se = 0.5 * (s_strip[:, :, -1] + e_strip[:, :, 0])
-    nw = 0.5 * (n_strip[:, :, 0] + w_strip[:, :, -1])
-    ne = 0.5 * (n_strip[:, :, -1] + e_strip[:, :, -1])
-
-    def ext(strip, lo, hi):
-        return jnp.concatenate([lo[:, :, None], strip, hi[:, :, None]], axis=2)
+    # 2. corner-extended ghost strips: (B, 6, 4, n+2, C), positions 0 and
+    # n+1 already the corner ghosts — one linear map, scatter-free VJP.
+    ext = ext_strips(x)
 
     # All four edges in ONE batched contraction per weight group: windows
-    # (E=4, B, nf, n, 3C) x taps (E=4, 3C, Cout), batched over E — eight
+    # (B, nf, E=4, n, 3C) x taps (E=4, 3C, Cout), batched over E — eight
     # separate einsums were a measured TPU cost (per-op overhead dominates
     # at these sizes).
-    exts = jnp.stack(
-        [
-            ext(s_strip, sw, se),  # row 0 fix, taps K[0, :]
-            ext(n_strip, nw, ne),  # row n-1 fix, taps K[2, :]
-            ext(w_strip, sw, nw),  # col 0 fix, taps K[:, 0]
-            ext(e_strip, se, ne),  # col n-1 fix, taps K[:, 2]
-        ],
-        axis=0,
-    )  # (4, B, 6, n+2, C)
     win = jnp.stack(
-        [exts[..., 0:n, :], exts[..., 1 : n + 1, :], exts[..., 2 : n + 2, :]],
+        [ext[..., 0:n, :], ext[..., 1 : n + 1, :], ext[..., 2 : n + 2, :]],
         axis=-2,
-    )  # (4, B, 6, n, 3, C)
-    win = win.reshape(4, b, 6, n, 3 * cin)
+    )  # (B, 6, 4, n, 3, C)
+    win = win.reshape(b, 6, 4, n, 3 * cin)
 
     def edge_taps(k):
+        # taps for [row 0 fix, row n-1 fix, col 0 fix, col n-1 fix] in the
+        # EDGE_S, EDGE_N, EDGE_W, EDGE_E slot order of the strips tensor
         return jnp.stack(
             [k[0].reshape(3 * cin, -1), k[2].reshape(3 * cin, -1),
              k[:, 0].reshape(3 * cin, -1), k[:, 2].reshape(3 * cin, -1)],
@@ -109,20 +96,25 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
         )  # (4, 3C, Cout)
 
     def group_fix(win_g, taps_g):
-        # (4, B, nf, n, 3C) x (4, 3C, D) -> (4, B, nf, n, D)
+        # (B, nf, 4, n, 3C) x (4, 3C, D) -> (4, B, nf, n, D)
         return lax.dot_general(
             win_g,
             taps_g.astype(win_g.dtype),
-            dimension_numbers=(((4,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((4,), (1,)), ((2,), (0,))),
         )
 
-    fix_eq = group_fix(win[:, :, :4], edge_taps(k_eq))
-    fix_po = group_fix(win[:, :, 4:], edge_taps(k_pole))
+    fix_eq = group_fix(win[:, :4], edge_taps(k_eq))
+    fix_po = group_fix(win[:, 4:], edge_taps(k_pole))
     fixes = jnp.concatenate([fix_eq, fix_po], axis=2)  # (4, B, 6, n, Cout)
     fix_s, fix_n, fix_w, fix_e = (fixes[i] for i in range(4))
 
-    # Corner double-count (each corner ghost entered via both edges):
-    # one small batched contraction for all four corners.
+    # Corner double-count (each corner ghost entered via both of its edges'
+    # windows): one small batched contraction for all four corners.  The
+    # corner ghosts are just the END positions of the S/N strips.
+    sw = ext[:, :, EDGE_S, 0]
+    se = ext[:, :, EDGE_S, n + 1]
+    nw = ext[:, :, EDGE_N, 0]
+    ne = ext[:, :, EDGE_N, n + 1]
     corners = jnp.stack([sw, se, nw, ne], axis=0)  # (4, B, 6, C)
     ck_eq = jnp.stack([k_eq[0, 0], k_eq[0, 2], k_eq[2, 0], k_eq[2, 2]], axis=0)
     ck_po = jnp.stack(

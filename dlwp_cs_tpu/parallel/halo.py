@@ -3,19 +3,31 @@
 This is the stencil analog of sequence/context parallelism (SURVEY.md §5.7,
 §2b) and the core of BASELINE config 5: activations ``(B, 6, H, W, C)`` are
 domain-decomposed by sharding the face-row (eta) axis over the mesh's
-``spatial`` axis, and each convolution's halo is assembled from
+``spatial`` axis, and each convolution's halo is assembled from seam-shaped
+collectives instead of an all-reduce of the whole perimeter (round 1 psum'd
+a ``(B, 6, 4, w, n, C)`` tensor per conv — every shard received every
+face's every edge; VERDICT r1 #2).
 
-1. **neighbor-band exchange** — ``lax.ppermute`` passes the ``w`` boundary
-   rows between adjacent row-band shards (nearest-neighbor ICI traffic,
-   volume O(w * n) per face), and
-2. **perimeter exchange** — the 24 face-edge strips (a tiny O(perimeter)
-   tensor) are reduced across the spatial axis with ``psum``; every shard
-   then assembles its cross-face ghost cells *locally* using the same
-   numerically-verified edge table as the single-device path.
+What each shard actually needs, from the verified edge table:
 
-The 8 cube corners — the classic 2-hop hazard (a corner ghost needs data from
-two remote shards) — are resolved for free: both flanking edge strips are in
-the psum'd perimeter, so the corner average is local arithmetic.
+* **band rows** — the ``w`` rows flanking its band, from its two
+  nearest-neighbor shards: 2 ``ppermute`` s (unchanged).
+* **equatorial W/E ghosts** — the 4 equatorial ring seams are col<->col with
+  ``reverse=False`` (a chirality-consistent-chart invariant, asserted at
+  trace time), so the partner columns for the local (and band-halo) rows are
+  already LOCAL after the band exchange: zero communication.
+* **polar W/E ghosts** — faces 4/5's W/E seams read the global N/S boundary
+  rows of faces 1/3: a ``psum`` broadcast of just those 4 row strips
+  (``(B, 4, w, n, C)``), each contributed by exactly one end shard.
+* **row<->col S/N ghosts** (end shards only) — ghosts 1S/3S/1N/3N read full
+  columns of faces 4/5, spread across every shard: one *tiled*
+  ``all_gather`` of the 4 thin column strips.
+* **row<->row S/N ghosts** (end shards only) — 0S/5N and 0N/4S pair the two
+  end shards: one ``ppermute`` on the single pair ``{0 <-> S-1}`` carrying 4
+  row strips; interior shards send/receive nothing.
+
+The 8 cube corners — the classic 2-hop hazard — remain local arithmetic on
+the end shards, exactly as in round 1.
 
 Installed via :func:`dlwp_cs_tpu.ops.padding.use_pad_impl`, so the *same
 model code* runs single-chip or sharded; equivalence is pinned by
@@ -33,6 +45,22 @@ from dlwp_cs_tpu.ops.padding import padding_plan
 from dlwp_cs_tpu.parallel.mesh import SPATIAL_AXIS
 
 __all__ = ["make_sharded_pad", "sharded_cs_pad"]
+
+
+def _check_topology(table):
+    """Assert the seam-shape invariants this routing relies on."""
+    for f in range(4):
+        for e in (EDGE_W, EDGE_E):
+            link = table[f][e]
+            assert link.face < 4 and not link.reverse and link.edge in (
+                EDGE_W,
+                EDGE_E,
+            ), "equatorial ring seams must be col<->col, unreversed"
+    # polar W/E seams read N/S rows of faces 1/3
+    assert table[4][EDGE_W].face == 3 and table[4][EDGE_W].edge == EDGE_N
+    assert table[4][EDGE_E].face == 1 and table[4][EDGE_E].edge == EDGE_N
+    assert table[5][EDGE_W].face == 3 and table[5][EDGE_W].edge == EDGE_S
+    assert table[5][EDGE_E].face == 1 and table[5][EDGE_E].edge == EDGE_S
 
 
 def sharded_cs_pad(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: int):
@@ -62,41 +90,104 @@ def sharded_cs_pad(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: in
         raise ValueError(f"halo width {w} must be in [1, h={h}]")
     plan = padding_plan(n, w)
     table = plan.table
+    _check_topology(table)
+    S = n_shards
     s = lax.axis_index(axis_name)
     is_first = (s == 0).astype(x.dtype)
-    is_last = (s == n_shards - 1).astype(x.dtype)
+    is_last = (s == S - 1).astype(x.dtype)
 
-    # ---- 1. perimeter strips: (B, 6, 4edges, w, n, C), [d, t] layout ------
-    perim = jnp.zeros((b, 6, 4, w, n, c), x.dtype)
-    strip_s = x[:, :, :w]  # [d, t] = row d
-    strip_n = jnp.flip(x[:, :, h - w :], axis=2)  # [d, t] = row h-1-d
-    perim = perim.at[:, :, EDGE_S].set(strip_s * is_first)
-    perim = perim.at[:, :, EDGE_N].set(strip_n * is_last)
-    strip_w = jnp.swapaxes(x[:, :, :, :w], 2, 3)  # (B,6,w,h,C) [d, t_local]
-    strip_e = jnp.swapaxes(jnp.flip(x[:, :, :, n - w :], axis=3), 2, 3)
-    zero_row = jnp.zeros((b, 6, w, n, c), x.dtype)
-    perim = perim.at[:, :, EDGE_W].set(
-        lax.dynamic_update_slice(zero_row, strip_w, (0, 0, 0, s * h, 0))
-    )
-    perim = perim.at[:, :, EDGE_E].set(
-        lax.dynamic_update_slice(zero_row, strip_e, (0, 0, 0, s * h, 0))
-    )
-    perim = lax.psum(perim, axis_name)
+    # All strips below use the [d, t] layout: d = distance from the edge
+    # (0 = outermost cell of the face), t = position along the edge in
+    # ascending global coordinate.
+    def s_rows(f):  # (B, w, n, C): face f's global-south rows (valid on first)
+        return x[:, f, :w]
+
+    def n_rows(f):  # valid on last shard
+        return jnp.flip(x[:, f, h - w :], axis=1)
+
+    def w_cols(f):  # (B, w, h, C), t = local row (valid everywhere)
+        return jnp.swapaxes(x[:, f, :, :w], 1, 2)
+
+    def e_cols(f):
+        return jnp.swapaxes(jnp.flip(x[:, f, :, n - w :], axis=2), 1, 2)
+
+    # ---- collective 1+2: band rows from neighbor shards (nearest-neighbor)
+    fwd = [(i, (i + 1) % S) for i in range(S)]
+    bwd = [(i, (i - 1) % S) for i in range(S)]
+    below = lax.ppermute(x[:, :, h - w :], axis_name, perm=fwd)  # my bottom halo
+    above = lax.ppermute(x[:, :, :w], axis_name, perm=bwd)  # my top halo
+
+    # ---- collective 3: psum broadcast of the 4 polar-seam boundary rows.
+    # Slots: [1S, 3S, 1N, 3N]; exactly one shard contributes each.
+    bcast = jnp.stack(
+        [
+            s_rows(1) * is_first,
+            s_rows(3) * is_first,
+            n_rows(1) * is_last,
+            n_rows(3) * is_last,
+        ],
+        axis=1,
+    )  # (B, 4, w, n, C)
+    bcast = lax.psum(bcast, axis_name)
+
+    # ---- collective 4: tiled all_gather of the 4 polar column strips.
+    # Slots: [4W, 4E, 5W, 5E]; concatenated over shards along t -> length n.
+    cols_local = jnp.stack(
+        [w_cols(4), e_cols(4), w_cols(5), e_cols(5)], axis=1
+    )  # (B, 4, w, h, C)
+    cols = lax.all_gather(cols_local, axis_name, axis=3, tiled=True)
+
+    # ---- collective 5: end<->end exchange of the 4 row<->row seam strips.
+    # Only the pair {0, S-1} communicates; interior shards receive zeros.
+    # My contribution: first sends [0S, 4S, 0, 0]; last sends [0, 0, 5N, 0N].
+    ex_payload = jnp.stack(
+        [
+            s_rows(0) * is_first,
+            s_rows(4) * is_first,
+            n_rows(5) * is_last,
+            n_rows(0) * is_last,
+        ],
+        axis=1,
+    )  # (B, 4, w, n, C)
+    if S == 1:
+        ex = ex_payload
+    else:
+        ex = lax.ppermute(ex_payload, axis_name, perm=[(0, S - 1), (S - 1, 0)])
+
+    # Virtual perimeter: source strip (g, e2) -> (B, w, n, C) in [d, t]
+    # layout, defined exactly where it is consumed (masked elsewhere).
+    src = {
+        (1, EDGE_S): bcast[:, 0],
+        (3, EDGE_S): bcast[:, 1],
+        (1, EDGE_N): bcast[:, 2],
+        (3, EDGE_N): bcast[:, 3],
+        (4, EDGE_W): cols[:, 0],
+        (4, EDGE_E): cols[:, 1],
+        (5, EDGE_W): cols[:, 2],
+        (5, EDGE_E): cols[:, 3],
+        (0, EDGE_S): ex[:, 0],  # received on last (for ghost 5N)
+        (4, EDGE_S): ex[:, 1],  # received on last (for ghost 0N)
+        (5, EDGE_N): ex[:, 2],  # received on first (for ghost 0S)
+        (0, EDGE_N): ex[:, 3],  # received on first (for ghost 4S)
+        # row<->row seams whose both ends live on the SAME end shard (keyed
+        # by SOURCE): ghost 5S <- (2,S), ghost 2S <- (5,S) — both strips
+        # local on the first shard; ghost 4N <- (2,N), ghost 2N <- (4,N) on
+        # the last.
+        (2, EDGE_S): s_rows(2),
+        (5, EDGE_S): s_rows(5),
+        (2, EDGE_N): n_rows(2),
+        (4, EDGE_N): n_rows(4),
+    }
 
     def ghost_strip(f: int, e: int):
         """(B, w, n, C) [d, t] ghost strip beyond edge ``e`` of face ``f``."""
         link = table[f][e]
-        st = perim[:, link.face, link.edge]
+        st = src[(link.face, link.edge)]
         if link.reverse:
             st = jnp.flip(st, axis=2)
         return st
 
-    # ---- 2. neighbor row bands via ppermute -------------------------------
-    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    below = lax.ppermute(x[:, :, h - w :], axis_name, perm=fwd)  # my bottom halo
-    above = lax.ppermute(x[:, :, :w], axis_name, perm=bwd)  # my top halo
-
+    # ---- assemble band-extended core -------------------------------------
     # Global-boundary shards replace the wrapped band with topology ghosts.
     bot_topo = jnp.stack(
         [jnp.flip(ghost_strip(f, EDGE_S), axis=1) for f in range(6)], axis=1
@@ -106,22 +197,33 @@ def sharded_cs_pad(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: in
     top = above * (1 - is_last) + top_topo * is_last
     core = jnp.concatenate([bottom, x, top], axis=2)  # (B, 6, h+2w, n, C)
 
-    # ---- 3. W/E ghost columns for all local (incl. halo) rows -------------
+    # ---- W/E ghost columns for all local (incl. halo) rows ----------------
     rows_ext = s * h - w + jnp.arange(h + 2 * w)  # global row of each local row
     w_blocks, e_blocks = [], []
     for f in range(6):
         blocks = []
         for e in (EDGE_W, EDGE_E):
             link = table[f][e]
-            t_src = jnp.where(link.reverse, n - 1 - rows_ext, rows_ext)
-            t_clip = jnp.clip(t_src, 0, n - 1)
-            st = perim[:, link.face, link.edge]
-            if link.reverse:
-                st = jnp.flip(st, axis=2)
-                t_take = jnp.clip(rows_ext, 0, n - 1)
+            if f < 4:
+                # equatorial ring seam: partner column is local in `core`
+                # (rev=False col<->col; halo rows covered by the band rows).
+                # ghost depth d = partner col n-1-d (E source) or d (W).
+                if link.edge == EDGE_E:
+                    gcol = jnp.flip(core[:, link.face, :, n - w :], axis=2)
+                else:
+                    gcol = core[:, link.face, :, :w]
+                # gcol: (B, h+2w, w, C) [row, d] -> (B, w, h+2w, C) [d, row]
+                g = jnp.swapaxes(gcol, 1, 2)
             else:
-                t_take = t_clip
-            g = jnp.take(st, t_take, axis=2)  # (B, w, h+2w, C) [d, row]
+                # polar seam: read the broadcast boundary row at the global
+                # positions of my local rows (clipped; the out-of-range end
+                # entries are overwritten by the corner step on end shards).
+                st = src[(link.face, link.edge)]
+                if link.reverse:
+                    st = jnp.flip(st, axis=2)
+                g = jnp.take(
+                    st, jnp.clip(rows_ext, 0, n - 1), axis=2
+                )  # (B, w, h+2w, C) [d, row]
             blocks.append(g)
         gw, ge = blocks
         # W: local col w-1-d  ->  flip depth then put depth last
@@ -132,7 +234,7 @@ def sharded_cs_pad(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: in
     east = jnp.stack(e_blocks, axis=1)
     padded = jnp.concatenate([west, core, east], axis=3)  # (B,6,h+2w,n+2w,C)
 
-    # ---- 4. global corners (only on the first/last shard) -----------------
+    # ---- global corners (only on the first/last shard) -----------------
     sw = 0.5 * (padded[:, :, :w, w : w + 1] + padded[:, :, w : w + 1, :w])
     se = 0.5 * (
         padded[:, :, :w, w + n - 1 : w + n] + padded[:, :, w : w + 1, w + n :]

@@ -6,8 +6,11 @@ binary, run it per (direction, grids), and load the resulting sparse map.
 Unlike the reference, map *application* never goes through the binary — the
 weights feed :mod:`dlwp_cs_tpu.remap.apply`'s on-device JAX contraction.
 
-The generator produces first-order conservative weights (exact sub-cell
-solid-angle partition of every target cell); rows sum to 1 exactly.
+The generator's default ``method="exact"`` computes EXACT spherical
+overlap areas (Sutherland-Hodgman clipping with mixed great-circle /
+latitude edges — the TempestRemap-equivalent): rows sum to 1 and global
+integrals/column sums are conservative to machine precision.
+``method="sampled"`` keeps the first-order k x k sub-cell fallback.
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ def run_csremap(
     out_path,
     samples: int = 8,
     lat_centered: bool = True,
+    method: str = "exact",
 ) -> Path:
     """Run the generator; returns the written weight file path."""
     if mode not in ("ll2cs", "cs2ll"):
@@ -64,6 +68,7 @@ def run_csremap(
             "--nlon", str(n_lon),
             "--ncs", str(n_cs),
             "--samples", str(samples),
+            "--method", method,
             "--lat-centered", "1" if lat_centered else "0",
             "--out", str(out_path),
         ],
@@ -73,8 +78,12 @@ def run_csremap(
     return out_path
 
 
-def load_csremap(path) -> RemapWeights:
-    """Load a CSRM binary weight file into :class:`RemapWeights`."""
+def load_csremap(path, dtype=np.float32) -> RemapWeights:
+    """Load a CSRM binary weight file into :class:`RemapWeights`.
+
+    ``dtype``: value precision; the file stores float64 (pass ``np.float64``
+    to keep full precision, e.g. for conservation checks).
+    """
     raw = Path(path).read_bytes()
     if raw[:4] != b"CSRM":
         raise ValueError(f"{path} is not a CSRM weight file")
@@ -91,7 +100,7 @@ def load_csremap(path) -> RemapWeights:
     return RemapWeights(
         rows=rows.copy(),
         cols=cols.copy(),
-        vals=vals.astype(np.float32),
+        vals=vals.astype(dtype),
         shape=(int(n_t), int(n_s)),
     )
 
@@ -104,13 +113,16 @@ def conservative_weights(
     n_cs: int,
     samples: int = 8,
     lat_centered: bool = True,
+    method: str = "exact",
     cache_dir=None,
+    dtype=np.float32,
 ) -> RemapWeights:
     """Generate (or reuse cached) conservative weights via the C++ tool."""
     import tempfile
 
     cache_dir = Path(cache_dir) if cache_dir else Path(tempfile.gettempdir())
-    name = f"csremap_{mode}_{n_lat}x{n_lon}_c{n_cs}_s{samples}_{int(lat_centered)}.bin"
+    tag = method if method != "sampled" else f"s{samples}"
+    name = f"csremap_{mode}_{n_lat}x{n_lon}_c{n_cs}_{tag}_{int(lat_centered)}.bin"
     path = cache_dir / name
     if not path.exists():
         run_csremap(
@@ -121,5 +133,6 @@ def conservative_weights(
             out_path=path,
             samples=samples,
             lat_centered=lat_centered,
+            method=method,
         )
-    return load_csremap(path)
+    return load_csremap(path, dtype=dtype)

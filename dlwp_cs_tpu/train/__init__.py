@@ -8,7 +8,11 @@ from dlwp_cs_tpu.train.train_step import (
     make_optimizer,
     make_train_step,
 )
-from dlwp_cs_tpu.train.sequence import make_sequence_loss, make_sequence_train_step
+from dlwp_cs_tpu.train.sequence import (
+    make_sequence_loss,
+    make_sequence_train_step,
+    make_sharded_sequence_train_step,
+)
 from dlwp_cs_tpu.train.trainer import EarlyStoppingMin, History, Trainer
 
 __all__ = [
@@ -20,6 +24,7 @@ __all__ = [
     "make_train_step",
     "make_sequence_loss",
     "make_sequence_train_step",
+    "make_sharded_sequence_train_step",
     "EarlyStoppingMin",
     "History",
     "Trainer",

@@ -24,7 +24,11 @@ from dlwp_cs_tpu.geometry.insolation import insolation
 from dlwp_cs_tpu.models.config import DataConfig
 from dlwp_cs_tpu.train.train_step import TrainState
 
-__all__ = ["make_sequence_loss", "make_sequence_train_step"]
+__all__ = [
+    "make_sequence_loss",
+    "make_sequence_train_step",
+    "make_sharded_sequence_train_step",
+]
 
 
 def make_sequence_loss(
@@ -100,3 +104,97 @@ def make_sequence_train_step(loss, optimizer, *, jit: bool = True):
     if jit:
         return jax.jit(step, donate_argnums=(0,))
     return step
+
+
+def make_sharded_sequence_train_step(
+    apply_fn,
+    data_cfg: DataConfig,
+    optimizer,
+    mesh,
+    *,
+    lat,
+    lon,
+    constants=None,
+    insol_mean: float = 0.0,
+    insol_std: float = 1.0,
+    sequence: int,
+    loss_fn=None,
+    jit: bool = True,
+):
+    """Mesh-parallel autoregressive sequence training (SURVEY.md §2.7;
+    VERDICT r1 #4: the flagship fine-tuning recipe must scale).
+
+    ``shard_map`` over ``('data', 'spatial')``: the batch is data-parallel
+    and face rows are domain-decomposed with the seam-routed halo exchange
+    under every conv (:mod:`dlwp_cs_tpu.parallel.halo`).  The per-shard
+    insolation is computed only for the LOCAL row band (lat/lon sliced by
+    shard index), so forcing stays fully sharded through the whole rollout.
+
+    Batch layout: ``window (B, T_in, 6, n, n, C)``, ``t0_days (B,)``,
+    ``targets (B, seq, 6, n, n, T_out*C)`` — rows are dim 3 throughout.
+    ``loss_fn`` must be an unweighted elementwise mean (pmean-exact).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from dlwp_cs_tpu.ops.padding import use_pad_impl
+    from dlwp_cs_tpu.parallel.halo import make_sharded_pad
+    from dlwp_cs_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    axes = (DATA_AXIS, SPATIAL_AXIS)
+    pad_impl = make_sharded_pad(n_spatial)
+    lat = jnp.asarray(lat)
+    lon = jnp.asarray(lon)
+    n = lat.shape[1]
+    h = n // n_spatial
+    if h * n_spatial != n:
+        raise ValueError(f"grid n={n} not divisible by spatial={n_spatial}")
+    if constants is not None:
+        constants = jnp.asarray(constants)
+
+    def local_step(state: TrainState, window, t0_days, targets):
+        s = lax.axis_index(SPATIAL_AXIS)
+        lat_l = lax.dynamic_slice_in_dim(lat, s * h, h, axis=1)
+        lon_l = lax.dynamic_slice_in_dim(lon, s * h, h, axis=1)
+        const_l = (
+            None
+            if constants is None
+            else lax.dynamic_slice_in_dim(constants, s * h, h, axis=1)
+        )
+        loss = make_sequence_loss(
+            apply_fn,
+            data_cfg,
+            lat=lat_l,
+            lon=lon_l,
+            constants=const_l,
+            insol_mean=insol_mean,
+            insol_std=insol_std,
+            sequence=sequence,
+            loss_fn=loss_fn,
+        )
+
+        def loss_of(params):
+            with use_pad_impl(pad_impl):
+                return loss(params, window, t0_days, targets)
+
+        value, grads = jax.value_and_grad(loss_of)(state.params)
+        value = lax.pmean(value, axes)
+        grads = lax.pmean(grads, axes)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": value,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    row6 = P(DATA_AXIS, None, None, SPATIAL_AXIS, None, None)
+    stepped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), row6, P(DATA_AXIS), row6),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    if not jit:
+        return stepped
+    return jax.jit(stepped, donate_argnums=(0,))

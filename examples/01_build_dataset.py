@@ -9,7 +9,7 @@ whole pipeline runs end-to-end offline.
 
 Usage:
   python examples/01_build_dataset.py --workdir /tmp/dlwp --grid 24 \
-      [--nlat 46 --nlon 90 --days 120] [--era5-dir DIR] [--conservative]
+      [--nlat 46 --nlon 90 --days 120] [--era5-dir DIR] [--remap conservative|bilinear]
 """
 
 from __future__ import annotations
@@ -60,9 +60,11 @@ def main() -> int:
     ap.add_argument("--step-hours", type=float, default=6.0)
     ap.add_argument("--era5-dir", default=None, help="dir of downloaded ERA5 files")
     ap.add_argument(
-        "--conservative",
-        action="store_true",
-        help="use the C++ conservative weight generator instead of bilinear",
+        "--remap",
+        default="conservative",
+        choices=("conservative", "bilinear"),
+        help="ll->cs regridding: exact conservative weights (C++ generator, "
+        "the default — requires a C++ toolchain) or bilinear",
     )
     args = ap.parse_args()
     workdir = Path(args.workdir)
@@ -80,7 +82,7 @@ def main() -> int:
         )
 
     weights = None
-    if args.conservative:
+    if args.remap == "conservative":
         from dlwp_cs_tpu.remap import conservative_weights
 
         weights = conservative_weights(

@@ -9,7 +9,12 @@ standard recipe for long-rollout stability.  The inner rollout runs as a
 
 Usage:
   python examples/05_sequence_train.py --workdir /tmp/dlwp [--sequence 3]
-      [--steps 200]  (expects 01_build_dataset.py to have run)
+      [--steps 200] [--mesh DATAxSPATIAL]
+      (expects 01_build_dataset.py to have run)
+
+``--mesh 2x4`` trains data-parallel over 2 device groups with face rows
+domain-decomposed over 4 (seam-routed halo exchange under every conv) —
+the sharded path of SURVEY.md §5.7 / BASELINE configs 4-5.
 """
 
 from __future__ import annotations
@@ -40,6 +45,11 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--filters", type=int, nargs="+", default=[8, 16])
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument(
+        "--mesh",
+        default=None,
+        help="DATAxSPATIAL device mesh, e.g. 2x4 (default: single device)",
+    )
     args = ap.parse_args()
     workdir = Path(args.workdir)
 
@@ -71,7 +81,27 @@ def main() -> int:
         sequence=args.sequence,
     )
     opt = make_optimizer(TrainConfig(learning_rate=args.lr))
-    step = make_sequence_train_step(loss, opt)
+    if args.mesh:
+        from dlwp_cs_tpu.parallel import create_mesh
+        from dlwp_cs_tpu.train import make_sharded_sequence_train_step
+
+        d, sp = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = create_mesh(data=d, spatial=sp)
+        step = make_sharded_sequence_train_step(
+            model.apply,
+            dcfg,
+            opt,
+            mesh,
+            lat=lat,
+            lon=lon,
+            constants=constants,
+            insol_mean=ds.insol_mean,
+            insol_std=ds.insol_std,
+            sequence=args.sequence,
+        )
+        print(f"mesh: data={d} x spatial={sp} over {d*sp} devices")
+    else:
+        step = make_sequence_train_step(loss, opt)
 
     window0, _, _ = ds.make_batch(ds._starts[:1])
     x0 = jnp.zeros((1, 6, n, n, dcfg.input_channels))

@@ -105,6 +105,46 @@ class TestStore:
         # masked cells are exactly the fill value 0
         assert np.all(x[..., 1::CVAR][:, mask] == 0.0)
 
+    def test_minmax_scaler(self):
+        rng = np.random.default_rng(8)
+        fields = rng.uniform(200, 300, size=(10, 6, N, N, 1)).astype(np.float32)
+        s = MemoryStore.from_raw(fields, np.arange(10.0), ("t",), scaler="minmax")
+        assert s.attrs["scaler"] == "minmax"
+        normed = (fields - s.mean) / s.std
+        assert normed.min() == pytest.approx(0.0, abs=1e-6)
+        assert normed.max() == pytest.approx(1.0, abs=1e-6)
+        with pytest.raises(ValueError):
+            MemoryStore.from_raw(fields, np.arange(10.0), ("t",), scaler="robust")
+
+    def test_cell_mean_impute(self):
+        # a masked cell gets ITS OWN time-mean, not the channel mean
+        rng = np.random.default_rng(9)
+        fields = rng.normal(size=(T, 6, N, N, CVAR)).astype(np.float32) * 3 + 10
+        # cell (0, 1, 2): high local mean, masked at some times
+        fields[:, 0, 1, 2, 1] = 50.0 + rng.normal(size=T)
+        masked_t = np.arange(0, T, 3)
+        truth_mean = fields[:, 0, 1, 2, 1][
+            ~np.isin(np.arange(T), masked_t)
+        ].mean()
+        fields[masked_t, 0, 1, 2, 1] = np.nan
+        s = MemoryStore.from_raw(fields, np.arange(T) * 0.25, ("a", "b"))
+        ds = _dataset(
+            s,
+            cfg=DataConfig(
+                grid_n=N,
+                variables=("a", "b"),
+                input_time_steps=2,
+                output_time_steps=2,
+                add_insolation=False,
+            ),
+            impute="cell_mean",
+        )
+        x, y = ds.make_batch(np.asarray(masked_t[:2]))  # windows hitting NaNs
+        assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+        # the filled value de-normalizes to the cell's valid-time mean
+        got = x[0, 0, 1, 2, 1] * s.std[1] + s.mean[1]
+        assert got == pytest.approx(truth_mean, rel=0.02)
+
     def test_all_nan_channel_degrades_gracefully(self):
         fields = np.full((10, 6, N, N, 1), np.nan, np.float32)
         s = MemoryStore.from_raw(fields, np.arange(10.0), ("dead",))

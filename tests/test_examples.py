@@ -17,12 +17,14 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
-def _run(script, *args):
+def _run(script, *args, devices: int = 1):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["MPLBACKEND"] = "Agg"
     env["PYTHONPATH"] = str(REPO)
+    if devices > 1:
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
     out = subprocess.run(
         [sys.executable, str(REPO / "examples" / script), *args],
         capture_output=True,
@@ -59,3 +61,18 @@ def test_full_example_chain(tmp_path):
     lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
     kinds = {json.loads(l)["kind"] for l in lines}
     assert kinds == {"step", "epoch"}
+    # 05: sequence fine-tuning, single-device then under a 2x2 mesh
+    out = _run(
+        "05_sequence_train.py",
+        "--workdir", wd, "--sequence", "2", "--steps", "4", "--batch", "4",
+        "--filters", "4",
+    )
+    assert "final sequence loss" in out
+    out = _run(
+        "05_sequence_train.py",
+        "--workdir", wd, "--sequence", "2", "--steps", "4", "--batch", "4",
+        "--filters", "4", "--mesh", "2x2",
+        devices=4,
+    )
+    assert "mesh: data=2 x spatial=2" in out
+    assert "final sequence loss" in out

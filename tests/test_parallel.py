@@ -143,6 +143,42 @@ class TestShardedModel:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    @pytest.mark.slow
+    def test_flagship_depth_spatial_apply(self, eight_devices):
+        """C48 depth-3 (32,64,128) — the production config — under
+        data=2 x spatial=4: band height shrinks 12 -> 6 -> 3 across levels
+        (VERDICT r1 #3: toy configs never exercised this interaction)."""
+        n = 48
+        cfg = UNetConfig(output_channels=4, filters=(32, 64, 128))
+        model = CubeSphereUNet(cfg)
+        x = _rand((2, 6, n, n, 7), seed=3)
+        params = model.init(jax.random.PRNGKey(1), x)
+        ref = np.asarray(model.apply(params, x))
+        mesh = create_mesh(data=2, spatial=4)
+        out = np.asarray(make_spatial_apply(model.apply, mesh)(params, x))
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+
+    @pytest.mark.slow
+    def test_flagship_depth_spatial_train_step(self, eight_devices):
+        n = 48
+        cfg = UNetConfig(output_channels=4, filters=(32, 64, 128))
+        model = CubeSphereUNet(cfg)
+        x = _rand((2, 6, n, n, 7), seed=4)
+        y = _rand((2, 6, n, n, 4), seed=5)
+        params = model.init(jax.random.PRNGKey(1), x)
+        opt = make_optimizer(TrainConfig(learning_rate=1e-3))
+        ref_state, ref_m = make_train_step(model.apply, opt, mse)(
+            init_state(_copy(params), opt), x, y
+        )
+        mesh = create_mesh(data=2, spatial=4)
+        state, m = make_spatial_train_step(model.apply, opt, mse, mesh)(
+            init_state(_copy(params), opt), x, y
+        )
+        assert float(m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-4)
+        ref_leaves = jax.tree.leaves(ref_state.params)
+        for a, b in zip(jax.tree.leaves(state.params), ref_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_multi_step_training_stays_equivalent(self, eight_devices):
         model, params, x = self._setup()
         y = 0.3 * x[..., :2]

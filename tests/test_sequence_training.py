@@ -129,6 +129,61 @@ class TestSequenceTraining:
         ref = float(jnp.mean(jnp.square(pred - jnp.asarray(targets[:, 0]))))
         assert v == pytest.approx(ref, rel=1e-5)
 
+    def test_sharded_step_matches_single_device(self):
+        """DP x spatial sequence step == single-device step (VERDICT r1 #4):
+        params/loss must agree when the batch is data-parallel and face rows
+        are domain-decomposed, with constants and per-shard insolation."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from dlwp_cs_tpu.parallel import create_mesh
+        from dlwp_cs_tpu.train import make_sharded_sequence_train_step
+
+        lat, lon = _grid()
+        dcfg = DataConfig(
+            grid_n=N,
+            variables=("a", "b"),
+            input_time_steps=2,
+            output_time_steps=2,
+            add_insolation=True,
+            constants=("topo",),
+        )
+        consts = jnp.asarray(
+            np.random.default_rng(9).normal(size=(6, N, N, 1)).astype(np.float32)
+        )
+        model = CubeSphereUNet(
+            UNetConfig(output_channels=dcfg.output_channels, filters=(4, 8))
+        )
+        x0 = jnp.zeros((1, 6, N, N, dcfg.input_channels))
+        params = model.init(jax.random.PRNGKey(0), x0)
+        opt = make_optimizer(TrainConfig(learning_rate=1e-2))
+        rng = np.random.default_rng(11)
+        window = jnp.asarray(rng.normal(size=(4, 2, 6, N, N, 2)).astype(np.float32))
+        targets = jnp.asarray(rng.normal(size=(4, 3, 6, N, N, 4)).astype(np.float32))
+        t0 = jnp.asarray([1.0, 1.25, 50.5, 117.75], jnp.float32)
+
+        kw = dict(
+            lat=lat, lon=lon, constants=consts,
+            insol_mean=300.0, insol_std=400.0, sequence=3,
+        )
+        loss = make_sequence_loss(model.apply, dcfg, **kw)
+        ref_step = make_sequence_train_step(loss, opt)
+        ref_state, ref_m = ref_step(
+            init_state(jax.tree.map(jnp.copy, params), opt), window, t0, targets
+        )
+
+        mesh = create_mesh(data=2, spatial=4)
+        sh_step = make_sharded_sequence_train_step(
+            model.apply, dcfg, opt, mesh, **kw
+        )
+        state, m = sh_step(
+            init_state(jax.tree.map(jnp.copy, params), opt), window, t0, targets
+        )
+        assert float(m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(ref_state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_matches_rollout_rewiring(self):
         # the sequence loss's internal rollout must equal make_rollout_fn's
         model, params, opt, _, (lat, lon) = self._setup()
