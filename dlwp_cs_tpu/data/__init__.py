@@ -2,7 +2,8 @@
 
 from dlwp_cs_tpu.data.channels import fold_time, pack_inputs, unfold_time
 from dlwp_cs_tpu.data.cfsr import CFSReanalysis, CFSReforecast
-from dlwp_cs_tpu.data.era5 import ERA5Reanalysis, read_netcdf_var
+from dlwp_cs_tpu.data.era5 import ERA5Reanalysis, read_era5_file, read_netcdf_var
+from dlwp_cs_tpu.data.grib2 import Grib2Record, read_grib2
 from dlwp_cs_tpu.data.prefetch import PrefetchIterator, prefetch_to_device
 from dlwp_cs_tpu.data.preprocessing import Preprocessor
 from dlwp_cs_tpu.data.series import SeriesDataset, insolation_stats
@@ -16,7 +17,10 @@ __all__ = [
     "CFSReanalysis",
     "CFSReforecast",
     "ERA5Reanalysis",
+    "read_era5_file",
     "read_netcdf_var",
+    "Grib2Record",
+    "read_grib2",
     "PrefetchIterator",
     "prefetch_to_device",
     "Preprocessor",

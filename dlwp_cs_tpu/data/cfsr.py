@@ -7,9 +7,10 @@ parity.  Like the reference, retrieval shells out to the network (NOMADS/NCDC
 HTTP) — unavailable in this offline environment, so ``retrieve`` fails with a
 clear message; ``open`` reads previously converted netCDF files via h5py.
 
-GRIB2 decoding (the reference used external grib tooling) is out of scope
-offline: point ``open`` at netCDF conversions produced by standard tooling
-(wgrib2/cdo) on the retrieval machine.
+GRIB2 decoding: first-party via :mod:`dlwp_cs_tpu.data.grib2`
+(``open_grib`` — simple and complex packing incl. spatial differencing, the
+templates NOAA CFS products use); ``open`` still reads netCDF conversions
+for files using unsupported templates (e.g. JPEG2000 — convert with wgrib2).
 """
 
 from __future__ import annotations
@@ -68,6 +69,16 @@ class CFSReanalysis:
                         ) from e
                     paths.append(target)
         return paths
+
+    def open_grib(self, path, *, param=None):
+        """Decode a raw .grb2 file with the first-party GRIB2 reader.
+
+        Returns the list of :class:`dlwp_cs_tpu.data.grib2.Grib2Record`
+        (``param=(discipline, category, number)`` filters).
+        """
+        from dlwp_cs_tpu.data.grib2 import read_grib2
+
+        return read_grib2(path, param=param)
 
     def open(self, path, variable: str):
         """Open a converted netCDF file: returns (data, lats, lons, times)."""

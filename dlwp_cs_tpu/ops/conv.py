@@ -92,7 +92,23 @@ def cs_conv(
         )
     kh, kw = kernel_eq.shape[0], kernel_eq.shape[1]
     is_3x3s1 = (kh, kw) == (3, 3) and stride == 1 and dilation == 1
-    if backend in ("auto", "ringfix") and is_3x3s1 and not _pad_impl_installed():
+    if backend == "auto" and is_3x3s1 and not _pad_impl_installed():
+        # On TPU the VMEM-fused Pallas kernel is the fast path (full-model
+        # train step 13.5 vs 19.0 ms for ring-fix — PERF.md r2); elsewhere
+        # (CPU tests, interpret-free) ring-fix is the best XLA formulation.
+        if _on_tpu():
+            fused = _maybe_pallas(
+                x, kernel_eq, kernel_pole, bias_eq, bias_pole,
+                stride, dilation, "pallas",
+            )
+            if fused is not None:
+                return fused
+        from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
+
+        return cs_conv3x3_ringfix(
+            x, kernel_eq, kernel_pole, bias_eq=bias_eq, bias_pole=bias_pole
+        )
+    if backend == "ringfix" and is_3x3s1 and not _pad_impl_installed():
         from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
 
         return cs_conv3x3_ringfix(
@@ -115,22 +131,23 @@ def cs_conv(
             bias = jnp.stack([bias_eq] * 4 + [b_po] * 2, axis=0)
             out = out + bias[None, :, None, None, :].astype(out.dtype)
         return out
-    if backend == "ringfix" and not is_3x3s1:
-        raise ValueError(
-            f"ringfix backend requires 3x3/stride-1/dilation-1, got "
-            f"kernel={kernel_eq.shape[:2]}, stride={stride}, dilation={dilation}"
-        )
+    # backend == "ringfix" with a non-3x3 layer (e.g. the 1x1 output head)
+    # falls through to the generic XLA path, like "pallas", so a whole model
+    # can pin the ring-fix formulation for its 3x3 convs.
     if backend in ("pallas", "pallas_interpret"):
         fused = _maybe_pallas(
             x, kernel_eq, kernel_pole, bias_eq, bias_pole, stride, dilation, backend
         )
         if fused is not None:
             return fused
-        raise ValueError(
-            "pallas backend requested but configuration unsupported "
-            f"(kernel={kernel_eq.shape[:2]}, stride={stride}, "
-            f"dilation={dilation}, shape={x.shape})"
-        )
+        if is_3x3s1:
+            raise ValueError(
+                "pallas backend requested but configuration unsupported "
+                f"(kernel={kernel_eq.shape[:2]}, stride={stride}, "
+                f"dilation={dilation}, shape={x.shape})"
+            )
+        # non-3x3 layers (e.g. the 1x1 output head) fall through to the
+        # generic XLA path so a whole model can run with backend='pallas'
     w = conv_halo_width((kh, kw), dilation)
     if w == 0:
         xp = x  # 1x1 conv: no halo needed
@@ -146,6 +163,24 @@ def cs_conv(
     if bias_pole is not None:
         pole = pole + bias_pole
     return jnp.concatenate([eq, pole], axis=1)
+
+
+def _on_tpu() -> bool:
+    """True when 'auto' should pick the Pallas kernel (trace-time dispatch).
+
+    Single TPU device only: under multi-device GSPMD a ``pallas_call`` is an
+    opaque custom call the partitioner cannot split, so sharded jit paths
+    keep the ring-fix formulation (shard_map paths install their own pad
+    impl and never reach this dispatch).
+    """
+    import jax
+
+    try:
+        return (
+            jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+        )
+    except Exception:
+        return False
 
 
 def _pad_impl_installed() -> bool:

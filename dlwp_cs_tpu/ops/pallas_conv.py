@@ -1,28 +1,44 @@
 """Pallas fused halo-pad + cubed-sphere convolution (TPU kernel path).
 
-The XLA path (:mod:`dlwp_cs_tpu.ops.conv`) materializes the halo-padded
-activation tensor in HBM between pad and conv — roughly one extra full
-read+write of the activations per convolution, which dominates at DLWP-CS
-scales where convs are HBM-bandwidth-bound.  This kernel fuses the exchange
-into the convolution: each face's padded tile is assembled in VMEM scratch,
-and the 3x3 conv is computed as 9 shifted ``(n, n, Cin) x (Cin, Cout)`` MXU
-contractions accumulated in f32.
+Round-2 ablation (tools/ablate_step.py, 1x v5e, C48 U-Net b=16 bf16):
+the XLA ring-fix formulation's halo machinery costs ~8.5 ms of the 11.7 ms
+forward — not FLOPs but per-op dispatch/relayout overhead of the ~18 small
+XLA ops per conv (gathers, stacks, small dots, masked adds).  This kernel
+eliminates that class of cost: each (batch, face) grid step assembles the
+halo-padded face tile ONCE in VMEM scratch and runs the 3x3 conv as 9
+shifted MXU contractions with f32 accumulation — zero intermediate HBM
+traffic, zero extra XLA ops.
 
-Split of labor (Mosaic cannot lower ``rev``/transpose reorientations):
+Division of labor with :mod:`dlwp_cs_tpu.ops.halo`:
 
-* the 24 *oriented* depth-1 edge strips — a tiny ``(B, 6, 4, n, C)`` tensor,
-  ~n/6 of one activation row per face — are computed OUTSIDE the kernel with
-  ordinary XLA ops (:func:`gather_halo_strips`), using the same
-  numerically-verified edge table as everything else;
-* the kernel consumes ``x`` + strips, assembles each padded face in VMEM
-  (interior copy + 4 strip rows + 4 corner averages) and runs the 9-tap MXU
-  accumulation.  The O(n^2) padded tensor never exists in HBM.
+* the *corner-extended* ghost strips come from :func:`halo.ext_strips`
+  (one gather pair in XLA, shared with the ring-fix path) — so the kernel
+  contains no orientation/corner logic (Mosaic cannot lower ``rev``), and
+  no 1-D vector ops (the round-1 kernel's bf16 blocker);
+* the kernel consumes ``x`` + ext strips and assembles ``(n+2, n+2, C)``
+  padded tiles in VMEM with ROW writes only (Mosaic cannot lower
+  sublane-indexed column stores for 16-bit types — hardware-bisected in
+  tools/mosaic_bisect*); the W/E ghost columns enter as two in-kernel
+  boundary-column correction dots instead;
+* the backward DEFAULTS to the exact VJP of the identical linear+bias map
+  via the scatter-free XLA ring-fix composition (``jax.vjp`` of
+  :func:`_xla_reference`; the unused primal is dead-code-eliminated) —
+  measured FASTER than the all-Pallas fused backward on v5e (full-model
+  train step 14.0 ms vs 24.7 ms at C48/b=16/bf16: three extra pallas_call
+  round-trips through HBM lose to XLA's fused transpose matmuls);
+* a fully-fused Pallas backward remains selectable
+  (``fused_backward=True``): one kernel emits the PADDED-input cotangent
+  ``dxp`` (9 shifted MXU contractions of a zero-extended dout tile with
+  the channel-transposed kernels), a second emits per-(batch, face)
+  weight/bias gradient blocks that XLA reduces; ``dxp``'s interior plus
+  its boundary ring fold through the scatter-free ``ext_strips``
+  transpose (``halo._ext_transpose``) to finish ``dx``.  dout's W/E
+  boundary columns ride in as an XLA-sliced side input (same 16-bit
+  column-indexing limitation as above).
 
 Scope: kernel_size (3,3), stride 1, dilation 1 — the hot configuration of
 every DLWP-CS conv layer; other configurations take the XLA path (dispatch
-in ``ops.conv``).  Backward runs through the XLA composition's VJP (the op
-is linear, so XLA DCEs the unused primal); a fused backward kernel is the
-next optimization.
+in ``ops.conv``).
 
 Reference parity: CubeSpherePadding2D + CubeSphereConv2D fused
 (``DLWP/custom.py`` — SURVEY.md §2 rows 1-2).
@@ -34,65 +50,21 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
-from dlwp_cs_tpu.ops.padding import padding_plan
+from dlwp_cs_tpu.ops.halo import ext_strips
 
 __all__ = [
     "cs_conv3x3_pallas",
-    "gather_halo_strips",
     "pallas_supported",
     "vmem_estimate_bytes",
 ]
 
 
-@functools.lru_cache(maxsize=32)
-def _strip_gather_indices(n: int) -> "np.ndarray":
-    """Flat cell indices (into 6*n*n) of all 24 oriented ghost strips.
-
-    Shape (6, 4, n): entry [f, e, t] is the source cell whose value becomes
-    the ghost beyond edge ``e`` of face ``f`` at along-edge position ``t``.
-    Derived from the verified edge table; turns halo-strip extraction into a
-    single gather (24 separate thin slices were a measured TPU cost).
-    """
-    import numpy as np
-
-    table = padding_plan(n, 1).table
-    idx = np.empty((6, 4, n), np.int32)
-    t = np.arange(n)
-    for f in range(6):
-        for e in range(4):
-            link = table[f][e]
-            g, e2 = link.face, link.edge
-            tt = t[::-1] if link.reverse else t
-            if e2 == EDGE_S:
-                i, j = np.zeros(n, np.int64), tt
-            elif e2 == EDGE_N:
-                i, j = np.full(n, n - 1), tt
-            elif e2 == EDGE_W:
-                i, j = tt, np.zeros(n, np.int64)
-            else:
-                i, j = tt, np.full(n, n - 1)
-            idx[f, e] = g * n * n + i * n + j
-    return idx
-
-
-def gather_halo_strips(x):
-    """Oriented depth-1 ghost strips for every (face, edge).
-
-    ``x``: ``(B, 6, n, n, C)`` -> ``(B, 6, 4, n, C)`` where ``[b, f, e, t]``
-    is the ghost value beyond edge ``e`` of face ``f`` at along-edge position
-    ``t`` (already reversed where the seam demands it).  One gather op.
-    """
-    b, _, n, _, c = x.shape
-    idx = jnp.asarray(_strip_gather_indices(n).reshape(-1))
-    flat = x.reshape(b, 6 * n * n, c)
-    return jnp.take(flat, idx, axis=1).reshape(b, 6, 4, n, c)
-
-
-def _kernel(x_ref, strip_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad, *, n):
+def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
+            *, n):
     """One (batch, face) block: assemble the padded face in VMEM, convolve.
 
     Gridding over faces (not just batch) keeps the per-step VMEM footprint
@@ -103,48 +75,72 @@ def _kernel(x_ref, strip_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
     cout = out_ref.shape[-1]
     f = pl.program_id(1)
     is_equatorial = f < 4
+
+    def kk(dy, dx):
+        # Weight-group choice is data-dependent on the face id: load both
+        # small kernels and select elementwise (cheap vs. the matmuls).
+        return jnp.where(is_equatorial, keq_ref[dy, dx], kpo_ref[dy, dx])
+
     # ---- padded face (n+2, n+2, Cin) in VMEM scratch ---------------------
-    s_strip = strip_ref[0, 0, EDGE_S]  # (n, C)
-    n_strip = strip_ref[0, 0, EDGE_N]
-    w_strip = strip_ref[0, 0, EDGE_W]
-    e_strip = strip_ref[0, 0, EDGE_E]
+    # Layout (rows, width, C): width x C are the tiled dims, so the two
+    # ghost-ROW writes are full tile-planes (the ext strips carry the corner
+    # ghosts at positions 0 and n+1, so the corners land via the row
+    # writes).  Ghost-COLUMN stores are sublane-indexed writes Mosaic cannot
+    # lower for 16-bit types (bisected on hardware: tools/mosaic_bisect2),
+    # so the W/E columns stay ZERO and their contributions enter as two
+    # boundary-column corrections below — O(n) dots, all in VMEM.
+    xpad[:, :, :] = jnp.zeros(xpad.shape, xpad.dtype)
     xpad[1 : n + 1, 1 : n + 1, :] = x_ref[0, 0]
-    xpad[0, 1 : n + 1, :] = s_strip
-    xpad[n + 1, 1 : n + 1, :] = n_strip
-    xpad[1 : n + 1, 0, :] = w_strip
-    xpad[1 : n + 1, n + 1, :] = e_strip
-    # corners: average of the two flanking edge ghosts
-    xpad[0, 0, :] = 0.5 * (s_strip[0] + w_strip[0])
-    xpad[0, n + 1, :] = 0.5 * (s_strip[n - 1] + e_strip[0])
-    xpad[n + 1, 0, :] = 0.5 * (n_strip[0] + w_strip[n - 1])
-    xpad[n + 1, n + 1, :] = 0.5 * (n_strip[n - 1] + e_strip[n - 1])
+    xpad[0, :, :] = ext_ref[0, 0, 0]      # S ghost row incl. corners
+    xpad[n + 1, :, :] = ext_ref[0, 0, 1]  # N ghost row incl. corners
     # ---- 9-tap shifted contractions on the MXU ---------------------------
-    # Weight-group choice is data-dependent on the face id: load both small
-    # kernels and select elementwise (cheap vs. the matmuls).
     acc = jnp.zeros((n, n, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            k = jnp.where(is_equatorial, keq_ref[dy, dx], kpo_ref[dy, dx])
             tile = xpad[dy : dy + n, dx : dx + n, :]  # (n, n, Cin)
             acc += jax.lax.dot_general(
                 tile,
-                k,
+                kk(dy, dx),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    bias = jnp.where(is_equatorial, beq_ref[0], bpo_ref[0])
-    acc += bias.astype(jnp.float32)
+    # ---- W/E ghost-column corrections ------------------------------------
+    # Output column 0 misses the dx=0 taps' reads of padded column 0 at
+    # INTERIOR padded rows 1..n (the corner entries at padded rows 0/n+1
+    # already arrived via the ghost-row writes); mirror for column n-1.
+    row2 = lax.broadcasted_iota(jnp.int32, (n + 2, 1), 0)
+    interior = jnp.logical_and(row2 > 0, row2 < n + 1)
+    w_strip = jnp.where(interior, ext_ref[0, 0, 2], 0).astype(xpad.dtype)
+    e_strip = jnp.where(interior, ext_ref[0, 0, 3], 0).astype(xpad.dtype)
+    cw = jnp.zeros((n, cout), jnp.float32)
+    ce = jnp.zeros((n, cout), jnp.float32)
+    for dy in range(3):
+        cw += jax.lax.dot_general(
+            w_strip[dy : dy + n], kk(dy, 0),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ce += jax.lax.dot_general(
+            e_strip[dy : dy + n], kk(dy, 2),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    col = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    acc += jnp.where(col == 0, cw[:, None, :], 0.0)
+    acc += jnp.where(col == n - 1, ce[:, None, :], 0.0)
+    bias = jnp.where(is_equatorial, beq_ref[:], bpo_ref[:])  # (1, Cout)
+    acc += bias[None].astype(jnp.float32)
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def vmem_estimate_bytes(n: int, cin: int, cout: int, dtype_bytes: int = 4) -> int:
     """Rough VMEM footprint of the fused kernel for feasibility gating.
 
-    Per grid step the kernel holds ONE face block (+ strips) and its output;
-    Mosaic double-buffers the pipelined in/out blocks (x2 below).
+    Per grid step the kernel holds ONE face block (+ ext strips) and its
+    output; Mosaic double-buffers the pipelined in/out blocks (x2 below).
     """
     x = 2 * n * n * cin * dtype_bytes
-    strips = 2 * 4 * n * cin * dtype_bytes
+    strips = 2 * 4 * (n + 2) * cin * dtype_bytes
     out = 2 * n * n * cout * dtype_bytes
     pad = (n + 2) * (n + 2) * cin * dtype_bytes
     acc = n * n * cout * 4
@@ -153,16 +149,10 @@ def vmem_estimate_bytes(n: int, cin: int, cout: int, dtype_bytes: int = 4) -> in
 
 
 def pallas_supported(x_shape, kernel_size, stride, dilation, dtype) -> bool:
-    """Is the fused kernel applicable (and likely to fit VMEM)?
-
-    bf16 is currently routed to the XLA path: Mosaic cannot lower the
-    kernel's sub-tile shape casts for 16-bit types with non-128 lane dims
-    ("infer-vector-layout: unsupported shape cast"); a lane-aligned bf16
-    kernel (channels padded to 128) is the next kernel milestone.
-    """
+    """Is the fused kernel applicable (and likely to fit VMEM)?"""
     if tuple(kernel_size) != (3, 3) or stride != 1 or dilation != 1:
         return False
-    if jnp.dtype(dtype) != jnp.float32:
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return False
     n = x_shape[-2]
     if x_shape[-3] != n or n < 4:
@@ -171,13 +161,15 @@ def pallas_supported(x_shape, kernel_size, stride, dilation, dtype) -> bool:
     return vmem_estimate_bytes(n, x_shape[-1], x_shape[-1], dtype_bytes) < 10 * 2**20
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def cs_conv3x3_pallas(x, k_eq, k_pole, b_eq, b_pole, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def cs_conv3x3_pallas(x, k_eq, k_pole, b_eq, b_pole, interpret=False,
+                      fused_backward=False):
     """Fused CS conv, 3x3/stride1: ``(B, 6, n, n, Cin) -> (B, 6, n, n, Cout)``.
 
     ``b_eq``/``b_pole`` are required (pass zeros for no bias) so the VJP
     signature stays static.  ``interpret=True`` runs the Pallas interpreter
-    (CPU tests).
+    (CPU tests).  ``fused_backward`` selects the all-Pallas backward (the
+    default XLA-composition VJP measured faster on v5e — module docstring).
     """
     return _forward(x, k_eq, k_pole, b_eq, b_pole, interpret)
 
@@ -187,10 +179,12 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
     if nf != 6 or n != n2:
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
     cout = k_eq.shape[-1]
-    strips = gather_halo_strips(x)
+    ext = ext_strips(x)  # (B, 6, 4, n+2, C) — corner ghosts included
     kernel = functools.partial(_kernel, n=n)
-    b_eq = b_eq.reshape(1, cout)
-    b_pole = b_pole.reshape(1, cout)
+    b_eq = b_eq.reshape(1, cout).astype(x.dtype)
+    b_pole = b_pole.reshape(1, cout).astype(x.dtype)
+    k_eq = k_eq.astype(x.dtype)
+    k_pole = k_pole.astype(x.dtype)
     flops = 2 * b * 6 * n * n * 9 * cin * cout
     return pl.pallas_call(
         kernel,
@@ -201,7 +195,7 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 4, n, cin), lambda i, f: (i, f, 0, 0, 0),
+                (1, 1, 4, n + 2, cin), lambda i, f: (i, f, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -221,26 +215,204 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, strips, k_eq, k_pole, b_eq, b_pole)
+    )(x, ext, k_eq, k_pole, b_eq, b_pole)
+
+
+def _bwd_dx_kernel(dout_ref, kTeq_ref, kTpo_ref, dxp_ref, dpad, *, n):
+    """Padded-input cotangent for one (batch, face) block.
+
+    ``dxp[a, b] = sum_taps K[dy,dx]^T dout[a-dy, b-dx]`` via 9 shifted MXU
+    contractions over a zero-extended dout tile.  Its interior is dx's
+    local part; its boundary ring is the ext-strip cotangent, folded back
+    through Eᵀ in XLA.  (Split from the dw kernel: the combined live set
+    exceeded the 16 MB scoped-VMEM budget at the 32-channel level.)
+    """
+    cin = dxp_ref.shape[-1]
+    f = pl.program_id(1)
+    is_equatorial = f < 4
+    dpad[:, :, :] = jnp.zeros(dpad.shape, dpad.dtype)
+    dpad[2 : n + 2, 2 : n + 2, :] = dout_ref[0, 0]
+    acc = jnp.zeros((n + 2, n + 2, cin), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tile = dpad[2 - dy : n + 4 - dy, 2 - dx : n + 4 - dx, :]
+            k = jnp.where(is_equatorial, kTeq_ref[dy, dx], kTpo_ref[dy, dx])
+            acc += jax.lax.dot_general(
+                tile,
+                k,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    dxp_ref[0, 0] = acc.astype(dxp_ref.dtype)
+
+
+def _bwd_dw_kernel(x_ref, ext_ref, dout_ref, dcols_ref, keq_ref, kpo_ref,
+                   dk_ref, db_ref, xpad, *, n):
+    """Per-(batch, face) weight/bias gradient blocks.
+
+    Emits ``dk (1,1,3,3,Cin,Cout)`` / ``db (1,1,1,Cout)`` per grid step and
+    lets XLA reduce over (batch, face-group) — a constant-index accumulated
+    output was measured to SERIALIZE the grid pipeline (train bwd 19 ms vs
+    9 ms).  ``dK[dy,dx] = sum_pixels xpad_shifted (x) dout`` as flattened
+    single-contracting-dim matmuls (Mosaic cannot lower a 2-contracting-dim
+    tpu.matmul — tools/mosaic_bisect3).  ``dcols`` carries dout's W/E
+    boundary columns (XLA-sliced — Mosaic cannot index bf16 sublane
+    columns), restoring the ghost-column taps the zero W/E columns miss.
+    """
+    cin = x_ref.shape[-1]
+    # assemble xpad exactly like the forward (W/E columns zero)
+    xpad[:, :, :] = jnp.zeros(xpad.shape, xpad.dtype)
+    xpad[1 : n + 1, 1 : n + 1, :] = x_ref[0, 0]
+    xpad[0, :, :] = ext_ref[0, 0, 0]
+    xpad[n + 1, :, :] = ext_ref[0, 0, 1]
+    row2 = lax.broadcasted_iota(jnp.int32, (n + 2, 1), 0)
+    interior = jnp.logical_and(row2 > 0, row2 < n + 1)
+    w_strip = jnp.where(interior, ext_ref[0, 0, 2], 0).astype(xpad.dtype)
+    e_strip = jnp.where(interior, ext_ref[0, 0, 3], 0).astype(xpad.dtype)
+    dout = dout_ref[0, 0]
+    cout = dout.shape[-1]
+    dout_flat = dout.reshape(n * n, cout)
+    for dy in range(3):
+        for dx in range(3):
+            tile = xpad[dy : dy + n, dx : dx + n, :].reshape(n * n, cin)
+            g = jax.lax.dot_general(
+                tile, dout_flat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Cin, Cout)
+            # ghost-column restoration: tap (dy, dx=0) also read padded
+            # column 0 (the W ghost) at output column 0; mirror for dx=2.
+            if dx == 0:
+                g += jax.lax.dot_general(
+                    w_strip[dy : dy + n], dcols_ref[0, 0, 0],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            if dx == 2:
+                g += jax.lax.dot_general(
+                    e_strip[dy : dy + n], dcols_ref[0, 0, 1],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dk_ref[0, 0, dy, dx] = g
+    db_ref[0, 0] = jnp.sum(
+        jnp.sum(dout.astype(jnp.float32), axis=0), axis=0, keepdims=True
+    )
+
+
+def _backward_all(x, ext, k_eq, k_pole, g, interpret):
+    from dlwp_cs_tpu.ops.halo import _ext_transpose
+
+    b, _, n, _, cin = x.shape
+    cout = k_eq.shape[-1]
+    dt = x.dtype
+    g = g.astype(dt)
+    k_eq = k_eq.astype(dt)
+    k_pole = k_pole.astype(dt)
+    # channel-transposed kernels for the dxp correlation (dxp[a,b] =
+    # sum_taps K[dy,dx]^T dout[a-dy, b-dx] — no spatial flip: the shifted
+    # dpad slices realize the -dy/-dx offsets directly)
+    kT_eq = k_eq.swapaxes(2, 3)
+    kT_po = k_pole.swapaxes(2, 3)
+    dcols = jnp.stack([g[:, :, :, 0, :], g[:, :, :, n - 1, :]], axis=2)
+    blk = lambda shape: pl.BlockSpec(
+        shape, lambda i, f: (i, f) + (0,) * (len(shape) - 2),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dxp = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, n=n),
+        grid=(b, 6),
+        in_specs=[blk((1, 1, n, n, cout)), full, full],
+        out_specs=blk((1, 1, n + 2, n + 2, cin)),
+        out_shape=jax.ShapeDtypeStruct((b, 6, n + 2, n + 2, cin), dt),
+        scratch_shapes=[pltpu.VMEM((n + 4, n + 4, cout), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 6 * (n + 2) * (n + 2) * 9 * cin * cout,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g, kT_eq, kT_po)
+    dk_all, db_all = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, n=n),
+        grid=(b, 6),
+        in_specs=[
+            blk((1, 1, n, n, cin)),
+            blk((1, 1, 4, n + 2, cin)),
+            blk((1, 1, n, n, cout)),
+            blk((1, 1, 2, n, cout)),
+            full,
+            full,
+        ],
+        out_specs=(
+            blk((1, 1, 3, 3, cin, cout)),
+            blk((1, 1, 1, cout)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 6, 3, 3, cin, cout), jnp.float32),
+            jax.ShapeDtypeStruct((b, 6, 1, cout), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((n + 2, n + 2, cin), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 6 * n * n * 9 * cin * cout,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, ext, g, dcols, k_eq, k_pole)
+    dkeq = jnp.sum(dk_all[:, :4], axis=(0, 1))
+    dkpo = jnp.sum(dk_all[:, 4:], axis=(0, 1))
+    dbeq = jnp.sum(db_all[:, :4], axis=(0, 1))
+    dbpo = jnp.sum(db_all[:, 4:], axis=(0, 1))
+    # dx = interior of dxp + E^T of the boundary-ring cotangent
+    dx = dxp[:, :, 1 : n + 1, 1 : n + 1, :]
+    zero_ends = jnp.ones((n + 2, 1), dxp.dtype).at[0, 0].set(0).at[n + 1, 0].set(0)
+    d_ext = jnp.stack(
+        [
+            dxp[:, :, 0, :, :],                      # S row (incl. corners)
+            dxp[:, :, n + 1, :, :],                  # N row (incl. corners)
+            dxp[:, :, :, 0, :] * zero_ends,          # W col (interior only)
+            dxp[:, :, :, n + 1, :] * zero_ends,      # E col (interior only)
+        ],
+        axis=2,
+    )  # (B, 6, 4, n+2, Cin)
+    dx = dx + _ext_transpose(d_ext)
+    return dx, dkeq, dkpo, dbeq, dbpo
 
 
 def _xla_reference(x, k_eq, k_pole, b_eq, b_pole):
-    from dlwp_cs_tpu.ops.conv import cs_conv
+    from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
 
-    return cs_conv(x, k_eq, k_pole, bias_eq=b_eq, bias_pole=b_pole, backend="xla")
+    return cs_conv3x3_ringfix(
+        x, k_eq, k_pole, bias_eq=b_eq, bias_pole=b_pole
+    )
 
 
-def _fwd(x, k_eq, k_pole, b_eq, b_pole, interpret):
+def _fwd(x, k_eq, k_pole, b_eq, b_pole, interpret, fused_backward):
     out = _forward(x, k_eq, k_pole, b_eq, b_pole, interpret)
     return out, (x, k_eq, k_pole, b_eq, b_pole)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, fused_backward, res, g):
     x, k_eq, k_pole, b_eq, b_pole = res
-    # Exact VJP of the identical linear+bias map, via the XLA composition
-    # (the unused primal is dead-code-eliminated by XLA).
-    _, pullback = jax.vjp(_xla_reference, x, k_eq, k_pole, b_eq, b_pole)
-    return pullback(g)
+    if not fused_backward:
+        # Exact VJP of the identical linear+bias map via the scatter-free
+        # XLA ring-fix composition (ext_strips carries its transpose-gather
+        # VJP; the unused primal is dead-code-eliminated by XLA).
+        _, pullback = jax.vjp(_xla_reference, x, k_eq, k_pole, b_eq, b_pole)
+        return pullback(g)
+    ext = ext_strips(x)
+    dx, dkeq, dkpo, dbeq, dbpo = _backward_all(
+        x, ext, k_eq, k_pole, g, interpret
+    )
+    return (
+        dx,
+        dkeq.astype(k_eq.dtype),
+        dkpo.astype(k_pole.dtype),
+        dbeq.reshape(-1).astype(k_eq.dtype),
+        dbpo.reshape(-1).astype(k_pole.dtype),
+    )
 
 
 cs_conv3x3_pallas.defvjp(_fwd, _bwd)

@@ -31,15 +31,31 @@ __all__ = ["Forecast", "TimeSeriesEstimator", "make_rollout_fn"]
 
 
 class Forecast(NamedTuple):
-    """Rollout result.
+    """Rollout result (the reference returns a labeled DataArray with
+    ``f_hour``/coords — ``DLWP/model/extensions.py``; this carries the same
+    metadata without an xarray dependency).
 
     ``fields``: ``(B, steps * T_out, 6, n, n, C_var)`` normalized prognostic
     forecasts, time ordered.
     ``lead_hours``: ``(steps * T_out,)`` forecast lead times in hours.
+    ``init_times``: optional ``(B,)`` initialization times (days since
+    2000-01-01) — the rollout's ``t0_days`` input.
+    ``variables``: optional channel names, length C_var.
     """
 
     fields: jnp.ndarray
     lead_hours: jnp.ndarray
+    init_times: Any = None
+    variables: tuple[str, ...] | None = None
+
+    def valid_times(self):
+        """``(B, steps * T_out)`` valid times in days since 2000-01-01."""
+        if self.init_times is None:
+            raise ValueError("Forecast carries no init_times")
+        import numpy as np
+
+        t0 = np.atleast_1d(np.asarray(self.init_times, np.float64))
+        return t0[:, None] + np.asarray(self.lead_hours, np.float64)[None, :] / 24.0
 
 
 def make_rollout_fn(
@@ -162,4 +178,7 @@ class TimeSeriesEstimator:
         )
         if jit:
             fn = jax.jit(fn)
-        return fn(self.params, window, t0_days)
+        fc = fn(self.params, window, t0_days)
+        return fc._replace(
+            init_times=t0_days, variables=tuple(self.data_cfg.variables)
+        )

@@ -57,14 +57,48 @@ class TestForwardEquivalence:
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
 
-    def test_dispatcher_rejects_unsupported_pallas(self):
+    def test_dispatcher_falls_through_for_non3x3(self):
+        # non-3x3 layers (e.g. 5x5, or the 1x1 head) take the generic XLA
+        # path so a whole model can run with backend='pallas'
         x = _rand((1, 6, 8, 8, 3))
-        k5 = _rand((5, 5, 3, 4))
-        with pytest.raises(ValueError):
-            cs_conv(x, k5, k5, backend="pallas_interpret")
+        k5 = _rand((5, 5, 3, 4)) * 0.1
+        out = cs_conv(x, k5, k5, backend="pallas_interpret")
+        ref = cs_conv(x, k5, k5, backend="xla")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
 
 
 class TestBackwardEquivalence:
+    @pytest.mark.parametrize("fused", [False, True])
+    @pytest.mark.parametrize("n,cin,cout", [(8, 3, 4), (16, 5, 3)])
+    def test_grads_match_xla_shapes(self, n, cin, cout, fused):
+        x = _rand((2, 6, n, n, cin), seed=18)
+        k_eq = _rand((3, 3, cin, cout), seed=19) * 0.2
+        k_po = _rand((3, 3, cin, cout), seed=20) * 0.2
+        b_eq = _rand((cout,), seed=21)
+        b_po = _rand((cout,), seed=22)
+        g = _rand((2, 6, n, n, cout), seed=23)
+
+        def run(f):
+            def loss(x, ke, kp, be, bp):
+                return jnp.sum(f(x, ke, kp, be, bp) * g)
+
+            return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                x, k_eq, k_po, b_eq, b_po
+            )
+
+        gp = run(lambda *a: cs_conv3x3_pallas(*a, True, fused))
+        gx = run(
+            lambda x, ke, kp, be, bp: cs_conv(
+                x, ke, kp, bias_eq=be, bias_pole=bp, backend="xla"
+            )
+        )
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
     def test_grads_match_xla(self):
         n, cin, cout = 8, 3, 4
         x = _rand((2, 6, n, n, cin), seed=8)

@@ -77,8 +77,13 @@ def test_constant_field_exact():
     np.testing.assert_allclose(out, np.broadcast_to(expect, out.shape), rtol=1e-4)
 
 
-def test_non3x3_rejected():
-    x = jnp.zeros((1, 6, 8, 8, 2))
-    k5 = jnp.zeros((5, 5, 2, 2))
-    with pytest.raises(ValueError):
-        cs_conv(x, k5, k5, backend="ringfix")
+def test_non3x3_falls_through():
+    # non-3x3 layers (e.g. a 5x5, or the 1x1 output head) take the generic
+    # XLA path under backend="ringfix" so a whole model can pin ring-fix
+    import numpy as np
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, 8, 2)).astype(np.float32))
+    k5 = jnp.asarray(rng.normal(size=(5, 5, 2, 3)).astype(np.float32)) * 0.1
+    out = cs_conv(x, k5, k5, backend="ringfix")
+    ref = cs_conv(x, k5, k5, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -269,6 +269,11 @@ class TestRollout:
         w = jnp.zeros((1, 2, 6, N, N, 2))
         fc = est.predict(w, 50.0, steps=2)
         assert fc.fields.shape == (1, 4, 6, N, N, 2)
+        # labeled output (API parity with the reference's DataArray result)
+        assert fc.variables == ("a", "b")
+        vt = fc.valid_times()
+        assert vt.shape == (1, 4)
+        np.testing.assert_allclose(vt[0], 50.0 + 0.25 * np.arange(1, 5))
 
     def test_bad_window_shape(self):
         model, state, lat, lon, consts = self._setup()

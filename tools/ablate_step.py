@@ -67,7 +67,7 @@ def main() -> int:
         return max((best - t_over) / CHAIN, 1e-9)
 
     results = {}
-    for backend in ("auto", "same"):
+    for backend in ("auto", "same", "pallas", "ringfix"):
         model, params = model_for(backend)
         opt = make_optimizer(TrainConfig(learning_rate=1e-3))
         step = make_train_step(model.apply, opt, mse, jit=False)
