@@ -100,6 +100,12 @@ class TrainConfig:
     # path — with this environment's ~25 ms dispatch/readback overhead a
     # per-step sync can double real step time (PERF.md).
     metrics_every: int = 8
+    # Run k optimizer steps per device dispatch (one jitted lax.scan over k
+    # stacked batches).  1 = one dispatch per step; >1 amortizes the host
+    # dispatch/roundtrip overhead — essential when per-step compute is small
+    # relative to dispatch latency (PERF.md round 2: 56 -> 15 ms/step real
+    # trainer wall-clock at fused_steps=8 on the remote-tunnel v5e).
+    fused_steps: int = 1
     seed: int = 0
 
 

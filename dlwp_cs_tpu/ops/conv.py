@@ -21,13 +21,37 @@ TPU-first design decisions (vs. the reference's Keras layer):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax.numpy as jnp
 from jax import lax
 
 from dlwp_cs_tpu.geometry.cubed_sphere import EQUATORIAL_FACES, POLAR_FACES
 from dlwp_cs_tpu.ops.padding import cs_pad
 
-__all__ = ["cs_conv", "conv_halo_width"]
+__all__ = ["cs_conv", "conv_halo_width", "use_conv3x3_impl"]
+
+# Whole-conv override for the hot 3x3/stride-1 configuration (analog of
+# ops.padding.use_pad_impl, which only overrides the PAD).  Installed by
+# parallel.overlap so sharded models run the overlap-friendly band ring-fix
+# conv instead of pad-then-VALID-conv; trace-time dispatch, no jit cost.
+_CONV3_IMPL: contextvars.ContextVar = contextvars.ContextVar(
+    "cs_conv3x3_impl", default=None
+)
+
+
+@contextlib.contextmanager
+def use_conv3x3_impl(fn):
+    """Within this context, 3x3/stride-1 ``cs_conv`` calls delegate to
+    ``fn(x, kernel_eq, kernel_pole, bias_eq, bias_pole)``; other
+    configurations keep their normal dispatch (e.g. the installed pad
+    impl)."""
+    token = _CONV3_IMPL.set(fn)
+    try:
+        yield
+    finally:
+        _CONV3_IMPL.reset(token)
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
@@ -92,6 +116,9 @@ def cs_conv(
         )
     kh, kw = kernel_eq.shape[0], kernel_eq.shape[1]
     is_3x3s1 = (kh, kw) == (3, 3) and stride == 1 and dilation == 1
+    impl = _CONV3_IMPL.get()
+    if impl is not None and is_3x3s1:
+        return impl(x, kernel_eq, kernel_pole, bias_eq, bias_pole)
     if backend == "auto" and is_3x3s1 and not _pad_impl_installed():
         # On TPU the VMEM-fused Pallas kernel is the fast path (full-model
         # train step 13.5 vs 19.0 ms for ring-fix — PERF.md r2); elsewhere

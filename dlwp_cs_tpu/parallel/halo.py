@@ -44,7 +44,7 @@ from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
 from dlwp_cs_tpu.ops.padding import padding_plan
 from dlwp_cs_tpu.parallel.mesh import SPATIAL_AXIS
 
-__all__ = ["make_sharded_pad", "sharded_cs_pad"]
+__all__ = ["halo_pieces", "make_sharded_pad", "sharded_cs_pad"]
 
 
 def _check_topology(table):
@@ -77,6 +77,31 @@ def sharded_cs_pad(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: in
     Returns the local padded block ``(B, 6, h + 2w, n + 2w, C)`` —
     identical to the corresponding row-slice of ``cs_pad`` on the gathered
     global field.
+    """
+    bottom_full, top_full, west_mid, east_mid = halo_pieces(
+        x, width, axis_name=axis_name, n_shards=n_shards
+    )
+    mid = jnp.concatenate([west_mid, x, east_mid], axis=3)
+    return jnp.concatenate([bottom_full, mid, top_full], axis=2)
+
+
+def halo_pieces(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: int):
+    """The halo of a row-band-sharded field, as four strips (not assembled).
+
+    Returns ``(bottom, top, west, east)`` for the local band ``(B,6,h,n,C)``:
+
+    * ``bottom``/``top``: ``(B, 6, w, n+2w, C)`` ghost ROWS below/above the
+      band INCLUDING the corner columns (global cube corners averaged,
+      exactly as ``cs_pad``); ``bottom`` rows are ordered top-down (row 0 =
+      outermost ghost), i.e. directly concatenable under the band.
+    * ``west``/``east``: ``(B, 6, h, w, C)`` ghost COLUMNS for the local
+      rows only (halo-row ghost columns live in ``bottom``/``top``).
+
+    Keeping the pieces separate (rather than materializing the padded
+    block) lets a conv formulation that only *corrects* its boundary with
+    them — :mod:`dlwp_cs_tpu.parallel.overlap` — keep its interior compute
+    data-independent of every collective here, so XLA's latency-hiding
+    scheduler can overlap the seam traffic with the MXU work.
     """
     b, nf, h, n, c = x.shape
     if nf != 6:
@@ -232,34 +257,23 @@ def sharded_cs_pad(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: in
         e_blocks.append(jnp.swapaxes(ge, 1, 2))
     west = jnp.stack(w_blocks, axis=1)  # (B, 6, h+2w, w, C)
     east = jnp.stack(e_blocks, axis=1)
-    padded = jnp.concatenate([west, core, east], axis=3)  # (B,6,h+2w,n+2w,C)
 
-    # ---- global corners (only on the first/last shard) -----------------
-    sw = 0.5 * (padded[:, :, :w, w : w + 1] + padded[:, :, w : w + 1, :w])
-    se = 0.5 * (
-        padded[:, :, :w, w + n - 1 : w + n] + padded[:, :, w : w + 1, w + n :]
-    )
+    # ---- corner columns of the ghost-row strips ---------------------------
+    # Interior band boundaries take the ghost-column values at the halo
+    # rows; the 8 GLOBAL cube corners (first/last shard only) are averaged
+    # over their two flanking edges, exactly as ``cs_pad`` does.
     hw = h + w
-    nw = 0.5 * (
-        padded[:, :, hw:, w : w + 1] + padded[:, :, hw - 1 : hw, :w]
-    )
-    ne = 0.5 * (
-        padded[:, :, hw:, w + n - 1 : w + n]
-        + padded[:, :, hw - 1 : hw, w + n :]
-    )
-    padded = padded.at[:, :, :w, :w].set(
-        sw * is_first + padded[:, :, :w, :w] * (1 - is_first)
-    )
-    padded = padded.at[:, :, :w, w + n :].set(
-        se * is_first + padded[:, :, :w, w + n :] * (1 - is_first)
-    )
-    padded = padded.at[:, :, hw:, :w].set(
-        nw * is_last + padded[:, :, hw:, :w] * (1 - is_last)
-    )
-    padded = padded.at[:, :, hw:, w + n :].set(
-        ne * is_last + padded[:, :, hw:, w + n :] * (1 - is_last)
-    )
-    return padded
+    sw = 0.5 * (bottom[:, :, :, 0:1] + west[:, :, w : w + 1, :])
+    se = 0.5 * (bottom[:, :, :, n - 1 : n] + east[:, :, w : w + 1, :])
+    nw = 0.5 * (top[:, :, :, 0:1] + west[:, :, hw - 1 : hw, :])
+    ne = 0.5 * (top[:, :, :, n - 1 : n] + east[:, :, hw - 1 : hw, :])
+    bl = west[:, :, :w] * (1 - is_first) + sw * is_first
+    br = east[:, :, :w] * (1 - is_first) + se * is_first
+    tl = west[:, :, hw:] * (1 - is_last) + nw * is_last
+    tr = east[:, :, hw:] * (1 - is_last) + ne * is_last
+    bottom_full = jnp.concatenate([bl, bottom, br], axis=3)  # (B,6,w,n+2w,C)
+    top_full = jnp.concatenate([tl, top, tr], axis=3)
+    return bottom_full, top_full, west[:, :, w:hw], east[:, :, w:hw]
 
 
 def make_sharded_pad(n_shards: int, axis_name: str = SPATIAL_AXIS):

@@ -73,5 +73,11 @@ def batch_spatial_sharding(mesh: Mesh, ndim: int = 5) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int = 6) -> NamedSharding:
+    """Like :func:`batch_sharding` for k-stacked batches ``(k, B, ...)``:
+    the leading (step) axis is replicated, axis 1 is sharded over 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -15,6 +15,8 @@ SURVEY.md §2 row 12) with the two TPU-native modes of SURVEY.md §7 M5/M6:
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import optax
 from jax import lax
@@ -28,14 +30,17 @@ from dlwp_cs_tpu.parallel.mesh import (
     batch_sharding,
     batch_spatial_sharding,
     replicated,
+    stacked_batch_sharding,
 )
 from dlwp_cs_tpu.train.train_step import TrainState
 
 __all__ = [
     "make_dp_train_step",
+    "make_dp_scanned_train_step",
     "make_dp_eval_step",
     "make_spatial_train_step",
     "make_spatial_apply",
+    "sharded_model_ctx",
     "shard_batch",
 ]
 
@@ -74,6 +79,37 @@ def make_dp_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
     )
 
 
+def make_dp_scanned_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
+    """Data-parallel variant of ``make_scanned_train_step``: k optimizer
+    steps per dispatch over ``(k, B, ...)`` stacked batches, batch axis
+    sharded over 'data' (the step axis is replicated — it is time, not
+    data)."""
+
+    def step(state: TrainState, inputs, targets):
+        def loss_of(params):
+            return loss_fn(apply_fn(params, inputs), targets)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    def step_k(state: TrainState, inputs_k, targets_k):
+        return lax.scan(lambda st, b: step(st, b[0], b[1]), state, (inputs_k, targets_k))
+
+    rep = replicated(mesh)
+    sbs = stacked_batch_sharding(mesh)
+    return jax.jit(
+        step_k,
+        in_shardings=(rep, sbs, sbs),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
 def make_dp_eval_step(apply_fn, loss_fn, mesh: Mesh):
     """GSPMD data-parallel eval step (params replicated, batch sharded)."""
 
@@ -88,22 +124,49 @@ def make_dp_eval_step(apply_fn, loss_fn, mesh: Mesh):
     )
 
 
+def sharded_model_ctx(n_spatial: int, *, overlap: bool = True):
+    """Context manager factory installing the sharded conv machinery.
+
+    Always installs the seam-routed sharded pad (non-3x3 / strided layers);
+    with ``overlap=True`` (default) additionally routes every 3x3/stride-1
+    conv through :mod:`dlwp_cs_tpu.parallel.overlap` — the band ring-fix
+    formulation whose interior conv carries no data dependence on the halo
+    collectives, so XLA can overlap seam traffic with MXU work.
+    """
+    pad_impl = make_sharded_pad(n_spatial)
+    if not overlap:
+        return lambda: use_pad_impl(pad_impl)
+    from dlwp_cs_tpu.ops.conv import use_conv3x3_impl
+    from dlwp_cs_tpu.parallel.overlap import make_sharded_conv3x3
+
+    conv_impl = make_sharded_conv3x3(n_spatial)
+
+    @contextlib.contextmanager
+    def ctx():
+        with use_pad_impl(pad_impl), use_conv3x3_impl(conv_impl):
+            yield
+
+    return ctx
+
+
 def make_spatial_train_step(
-    apply_fn, optimizer, loss_fn, mesh: Mesh, *, jit: bool = True
+    apply_fn, optimizer, loss_fn, mesh: Mesh, *, jit: bool = True,
+    overlap: bool = True,
 ):
     """shard_map train step: batch over 'data', face rows over 'spatial'.
 
     ``loss_fn`` must be an unweighted elementwise-mean loss (mse/mae); the
     local means are ``pmean``-combined, which is exact because every shard
-    holds the same number of elements.
+    holds the same number of elements.  ``overlap`` selects the
+    overlap-friendly band conv (see :func:`sharded_model_ctx`).
     """
     n_spatial = mesh.shape[SPATIAL_AXIS]
     axes = (DATA_AXIS, SPATIAL_AXIS)
-    pad_impl = make_sharded_pad(n_spatial)
+    model_ctx = sharded_model_ctx(n_spatial, overlap=overlap)
 
     def local_step(state: TrainState, inputs, targets):
         def loss_of(params):
-            with use_pad_impl(pad_impl):
+            with model_ctx():
                 pred = apply_fn(params, inputs)
             return loss_fn(pred, targets)
 
@@ -131,16 +194,17 @@ def make_spatial_train_step(
     return jax.jit(stepped, donate_argnums=(0,))
 
 
-def make_spatial_apply(apply_fn, mesh: Mesh, *, jit: bool = True):
+def make_spatial_apply(apply_fn, mesh: Mesh, *, jit: bool = True,
+                       overlap: bool = True):
     """Sharded forward pass: ``f(params, inputs) -> outputs`` under shard_map.
 
     Used by the sharded rollout and by the sharding-equivalence tests.
     """
     n_spatial = mesh.shape[SPATIAL_AXIS]
-    pad_impl = make_sharded_pad(n_spatial)
+    model_ctx = sharded_model_ctx(n_spatial, overlap=overlap)
 
     def local_apply(params, inputs):
-        with use_pad_impl(pad_impl):
+        with model_ctx():
             return apply_fn(params, inputs)
 
     spec = P(DATA_AXIS, None, SPATIAL_AXIS, None, None)

@@ -6,6 +6,7 @@ from dlwp_cs_tpu.train.train_step import (
     make_eval_step,
     make_loss_fn,
     make_optimizer,
+    make_scanned_train_step,
     make_train_step,
 )
 from dlwp_cs_tpu.train.sequence import (
@@ -21,6 +22,7 @@ __all__ = [
     "make_eval_step",
     "make_loss_fn",
     "make_optimizer",
+    "make_scanned_train_step",
     "make_train_step",
     "make_sequence_loss",
     "make_sequence_train_step",

@@ -136,13 +136,12 @@ def make_sharded_sequence_train_step(
     """
     from jax.sharding import PartitionSpec as P
 
-    from dlwp_cs_tpu.ops.padding import use_pad_impl
-    from dlwp_cs_tpu.parallel.halo import make_sharded_pad
     from dlwp_cs_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+    from dlwp_cs_tpu.parallel.sharding import sharded_model_ctx
 
     n_spatial = mesh.shape[SPATIAL_AXIS]
     axes = (DATA_AXIS, SPATIAL_AXIS)
-    pad_impl = make_sharded_pad(n_spatial)
+    model_ctx = sharded_model_ctx(n_spatial)
     lat = jnp.asarray(lat)
     lon = jnp.asarray(lon)
     n = lat.shape[1]
@@ -174,7 +173,7 @@ def make_sharded_sequence_train_step(
         )
 
         def loss_of(params):
-            with use_pad_impl(pad_impl):
+            with model_ctx():
                 return loss(params, window, t0_days, targets)
 
         value, grads = jax.value_and_grad(loss_of)(state.params)

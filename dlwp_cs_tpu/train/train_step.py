@@ -26,7 +26,14 @@ import optax
 from dlwp_cs_tpu.models.config import TrainConfig
 from dlwp_cs_tpu.ops.losses import mae, mse, weighted_mae, weighted_mse
 
-__all__ = ["TrainState", "make_optimizer", "make_loss_fn", "make_train_step", "make_eval_step"]
+__all__ = [
+    "TrainState",
+    "make_optimizer",
+    "make_loss_fn",
+    "make_train_step",
+    "make_scanned_train_step",
+    "make_eval_step",
+]
 
 
 class TrainState(NamedTuple):
@@ -124,6 +131,30 @@ def make_train_step(apply_fn, optimizer, loss_fn, *, jit: bool = True):
     if jit:
         return jax.jit(step, donate_argnums=(0,))
     return step
+
+
+def make_scanned_train_step(apply_fn, optimizer, loss_fn, *, jit: bool = True):
+    """Build ``step_k(state, inputs_k, targets_k) -> (state, metrics_k)``.
+
+    Runs ``k`` optimizer steps as ONE dispatch via ``lax.scan`` over the
+    leading (step) axis of the stacked batches; metrics come back as
+    ``(k,)`` arrays.  This amortizes the host dispatch/roundtrip overhead
+    across k steps — on this environment's remote-tunnel TPU that overhead
+    is ~25-40 ms per call, i.e. 2-3x the compute itself at flagship size
+    (PERF.md round 2), and on any hardware it keeps the host off the
+    critical path for small fast steps.
+    """
+    base = make_train_step(apply_fn, optimizer, loss_fn, jit=False)
+
+    def step_k(state: TrainState, inputs_k, targets_k):
+        def body(st, batch):
+            return base(st, batch[0], batch[1])
+
+        return jax.lax.scan(body, state, (inputs_k, targets_k))
+
+    if jit:
+        return jax.jit(step_k, donate_argnums=(0,))
+    return step_k
 
 
 def make_eval_step(apply_fn, loss_fn, *, jit: bool = True):

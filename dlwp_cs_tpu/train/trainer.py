@@ -51,10 +51,15 @@ class EarlyStoppingMin:
     wait: int = 0
 
     def update(self, epoch: int, value: float, params) -> bool:
-        """Record an epoch's monitored value; returns True to stop."""
+        """Record an epoch's monitored value; returns True to stop.
+
+        ``params`` may be the parameter pytree itself or a zero-arg callable
+        producing it — the callable is only invoked on improvement, so
+        callers can avoid a device->host snapshot on non-improving epochs.
+        """
         if value < self.best - self.min_delta:
             self.best = value
-            self.best_params = params
+            self.best_params = params() if callable(params) else params
             self.wait = 0
         else:
             self.wait += 1
@@ -118,6 +123,10 @@ class Trainer:
             from dlwp_cs_tpu.parallel.sharding import make_dp_eval_step
 
             self.eval_step = make_dp_eval_step(model.apply, self.loss_fn, mesh)
+        # k-step fused dispatch (one jitted lax.scan per k batches) — built
+        # on first use; see TrainConfig.fused_steps.
+        self.fused_steps = max(1, int(getattr(cfg, "fused_steps", 1)))
+        self._fused_step = None
         self.workdir = Path(workdir) if workdir is not None else None
         self.profile_steps = profile_steps
         self.history = History()
@@ -149,6 +158,24 @@ class Trainer:
             return template
         state, _ = restore_checkpoint(ckpt_dir, template)
         return state
+
+    def _get_fused_step(self):
+        if self._fused_step is None:
+            if self.mesh is None:
+                from dlwp_cs_tpu.train.train_step import make_scanned_train_step
+
+                self._fused_step = make_scanned_train_step(
+                    self.model.apply, self.optimizer, self.loss_fn
+                )
+            else:
+                from dlwp_cs_tpu.parallel.sharding import (
+                    make_dp_scanned_train_step,
+                )
+
+                self._fused_step = make_dp_scanned_train_step(
+                    self.model.apply, self.optimizer, self.loss_fn, self.mesh
+                )
+        return self._fused_step
 
     def _log(self, record: dict) -> None:
         if self._metrics_file is not None:
@@ -200,50 +227,94 @@ class Trainer:
                 if not pending:
                     return
                 fetched = jax.device_get([m for _, m, _, _ in pending])
-                wall = (time.perf_counter() - t_flush) / len(pending)
-                for (step_i, _, dispatch_s, data_wait), m in zip(pending, fetched):
-                    loss = float(m["loss"])
-                    losses.append(loss)
-                    rec = {
-                        "kind": "step",
-                        "step": step_i,
-                        "loss": loss,
-                        "grad_norm": float(m["grad_norm"]),
-                        # amortized wall seconds/step incl. compute (honest
-                        # under buffered fetch); dispatch_s is host-only time
-                        "step_s": wall,
-                        "dispatch_s": dispatch_s,
-                        "data_wait_s": data_wait,
-                    }
-                    self.history.steps.append(rec)
-                    self._log(rec)
+                # A fused dispatch returns (k,) metric vectors — one record
+                # per optimizer step either way.
+                loss_v = [
+                    np.atleast_1d(np.asarray(m["loss"], np.float64))
+                    for m in fetched
+                ]
+                gnorm_v = [
+                    np.atleast_1d(np.asarray(m["grad_norm"], np.float64))
+                    for m in fetched
+                ]
+                n_steps = sum(v.shape[0] for v in loss_v)
+                wall = (time.perf_counter() - t_flush) / max(n_steps, 1)
+                for (step_i, _, dispatch_s, data_wait), lv, gv in zip(
+                    pending, loss_v, gnorm_v
+                ):
+                    k = lv.shape[0]
+                    for j in range(k):
+                        loss = float(lv[j])
+                        losses.append(loss)
+                        rec = {
+                            "kind": "step",
+                            "step": step_i + j,
+                            "loss": loss,
+                            "grad_norm": float(gv[j]),
+                            # amortized wall seconds/step incl. compute
+                            # (honest under buffered fetch); dispatch_s is
+                            # host-only time, for the whole fused call
+                            "step_s": wall,
+                            "dispatch_s": dispatch_s,
+                            "data_wait_s": data_wait,
+                        }
+                        self.history.steps.append(rec)
+                        self._log(rec)
                 pending.clear()
                 t_flush = time.perf_counter()
 
             it = iter(_epoch_iter(train_data))
+            fused = self.fused_steps
+            profiling = False
             while True:
                 # Separate input-wait from compute: data_wait_s exposes input-
                 # pipeline stalls (SURVEY.md §7 M4 — "measured via step-time
                 # variance"); with prefetch it should be ~0.
                 t_wait = time.perf_counter()
+                chunk = []
                 try:
-                    inputs, targets = next(it)
+                    while len(chunk) < fused:
+                        chunk.append(next(it))
                 except StopIteration:
-                    break
+                    pass
                 data_wait = time.perf_counter() - t_wait
-                if self.mesh is not None:
-                    from dlwp_cs_tpu.parallel.sharding import shard_batch
-
-                    inputs, targets = shard_batch((inputs, targets), self.mesh)
-                if self.profile_steps is not None and gstep == self.profile_steps[0]:
+                if not chunk:
+                    break
+                if self.profile_steps is not None and (
+                    gstep <= self.profile_steps[0] < gstep + len(chunk)
+                ):
                     jax.profiler.start_trace(str(self.workdir / "profile"))
-                t_step = time.perf_counter()
-                state, metrics = self.train_step(state, inputs, targets)
-                dispatch_s = time.perf_counter() - t_step
-                if self.profile_steps is not None and gstep == self.profile_steps[1]:
+                    profiling = True
+                if fused > 1 and len(chunk) == fused:
+                    # k steps, ONE dispatch (stacked batches + lax.scan);
+                    # a short tail chunk falls back to single steps below so
+                    # the scan never recompiles for a ragged k.
+                    inputs_k = _stack([c[0] for c in chunk])
+                    targets_k = _stack([c[1] for c in chunk])
+                    t_step = time.perf_counter()
+                    state, metrics = self._get_fused_step()(
+                        state, inputs_k, targets_k
+                    )
+                    dispatch_s = time.perf_counter() - t_step
+                    pending.append((gstep, metrics, dispatch_s, data_wait))
+                    gstep += len(chunk)
+                else:
+                    for inputs, targets in chunk:
+                        if self.mesh is not None:
+                            from dlwp_cs_tpu.parallel.sharding import shard_batch
+
+                            inputs, targets = shard_batch(
+                                (inputs, targets), self.mesh
+                            )
+                        t_step = time.perf_counter()
+                        state, metrics = self.train_step(state, inputs, targets)
+                        dispatch_s = time.perf_counter() - t_step
+                        pending.append((gstep, metrics, dispatch_s, data_wait))
+                        gstep += 1
+                        data_wait = 0.0
+                if profiling and gstep > self.profile_steps[1]:
                     jax.profiler.stop_trace()
-                pending.append((gstep, metrics, dispatch_s, data_wait))
-                gstep += 1
+                    profiling = False
                 if len(pending) >= metrics_every:
                     flush()
             flush()
@@ -282,8 +353,14 @@ class Trainer:
             # jitted train step donates its state, so the device buffers of
             # this epoch's params are invalidated by the next epoch's first
             # step — storing them by reference would make best-weights
-            # restore return deleted arrays.
-            best_candidate = jax.tree.map(np.asarray, state.params)
+            # restore return deleted arrays.  The snapshot is lazy (only on
+            # improving epochs) and skipped entirely when best-weights
+            # restore is off — on this environment's remote tunnel a
+            # params download costs ~0.2 s (PERF.md).
+            if cfg.restore_best_weights:
+                best_candidate = lambda: jax.tree.map(np.asarray, state.params)
+            else:
+                best_candidate = None
             if stopper.update(epoch, monitored, best_candidate):
                 if verbose:
                     print(f"early stopping at epoch {epoch} (best={stopper.best:.6f})")
@@ -297,3 +374,14 @@ class Trainer:
 def _epoch_iter(data):
     """Accept either an iterable of batches or a zero-arg callable yielding one."""
     return data() if callable(data) else data
+
+
+def _stack(xs):
+    """Stack k batches along a new leading (step) axis.
+
+    Host batches stack on host (one transfer when dispatched); device-
+    resident batches stack on device (no host round-trip).
+    """
+    if all(isinstance(x, np.ndarray) for x in xs):
+        return np.stack(xs)
+    return jnp.stack([jnp.asarray(x) for x in xs])

@@ -193,3 +193,93 @@ class TestShardedModel:
             s1, m1 = ref_step(s1, x, y)
             s2, m2 = sp_step(s2, x, y)
         assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-3)
+
+
+class TestOverlapConv:
+    """The overlap-friendly band ring-fix conv (parallel/overlap.py):
+    interior SAME conv independent of the halo collectives + boundary
+    fixes.  The default for all sharded paths; pinned here directly and
+    against the pad-materializing variant."""
+
+    @pytest.mark.parametrize("spatial", [2, 4, 8])
+    def test_conv_matches_single_device(self, eight_devices, spatial):
+        from jax.sharding import PartitionSpec as P
+
+        from dlwp_cs_tpu.ops import cs_conv
+        from dlwp_cs_tpu.parallel.overlap import sharded_ringfix_conv3x3
+
+        mesh = create_mesh(data=1, spatial=spatial)
+        x = _rand((2, 6, N, N, 3), seed=11)
+        k_eq = _rand((3, 3, 3, 5), seed=12) * 0.2
+        k_po = _rand((3, 3, 3, 5), seed=13) * 0.2
+        b_eq = _rand((5,), seed=14)
+        b_po = _rand((5,), seed=15)
+        ref = np.asarray(
+            cs_conv(x, k_eq, k_po, bias_eq=b_eq, bias_pole=b_po, backend="xla")
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                lambda xl: sharded_ringfix_conv3x3(
+                    xl, k_eq, k_po, b_eq, b_po, n_shards=spatial
+                ),
+                mesh=mesh,
+                in_specs=P(None, None, "spatial", None, None),
+                out_specs=P(None, None, "spatial", None, None),
+                check_vma=False,
+            )
+        )
+        np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=2e-5)
+
+    def test_conv_grads_match_single_device(self, eight_devices):
+        from jax.sharding import PartitionSpec as P
+
+        from dlwp_cs_tpu.ops import cs_conv
+        from dlwp_cs_tpu.parallel.overlap import sharded_ringfix_conv3x3
+
+        spatial = 4
+        mesh = create_mesh(data=1, spatial=spatial)
+        x = _rand((1, 6, N, N, 2), seed=21)
+        k_eq = _rand((3, 3, 2, 3), seed=22) * 0.2
+        k_po = _rand((3, 3, 2, 3), seed=23) * 0.2
+
+        def ref_loss(x, ke, kp):
+            return jnp.mean(cs_conv(x, ke, kp, backend="xla") ** 2)
+
+        gref = jax.grad(ref_loss, argnums=(0, 1, 2))(x, k_eq, k_po)
+
+        def sh_loss(x, ke, kp):
+            import jax as _jax
+            from jax import lax
+
+            def local(xl, ke, kp):
+                out = sharded_ringfix_conv3x3(
+                    xl, ke, kp, None, None, n_shards=spatial
+                )
+                return lax.pmean(jnp.mean(out**2), "spatial")
+
+            return _jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(None, None, "spatial", None, None), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )(x, ke, kp)
+
+        gsh = jax.grad(sh_loss, argnums=(0, 1, 2))(x, k_eq, k_po)
+        for a, b in zip(gsh, gref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5
+            )
+
+    def test_pad_variant_still_equivalent(self, eight_devices):
+        # overlap=False pins the pad-materializing sharded path
+        cfg = UNetConfig(output_channels=2, filters=(4, 8))
+        model = CubeSphereUNet(cfg)
+        x = _rand((4, 6, N, N, 3), seed=31)
+        params = model.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(model.apply(params, x))
+        mesh = create_mesh(data=2, spatial=4)
+        out = np.asarray(
+            make_spatial_apply(model.apply, mesh, overlap=False)(params, x)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5)
