@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from dlwp_cs_tpu.data.prefetch import prefetch_to_device
 from dlwp_cs_tpu.data.series import SeriesDataset
 from dlwp_cs_tpu.geometry.cubed_sphere import CubedSphere
+from dlwp_cs_tpu.models import build_model
 from dlwp_cs_tpu.models.config import ExperimentConfig
-from dlwp_cs_tpu.models.unet import CubeSphereUNet
 from dlwp_cs_tpu.rollout.estimator import Forecast, TimeSeriesEstimator
 from dlwp_cs_tpu.train.train_step import init_state, make_optimizer
 from dlwp_cs_tpu.train.trainer import Trainer
@@ -45,7 +45,7 @@ class DLWPEstimator:
 
     def __init__(self, config: ExperimentConfig):
         self.config = config
-        self.model = CubeSphereUNet(config.resolved_model())
+        self.model = build_model(config.resolved_model())
         self.cs = CubedSphere(config.data.grid_n)
         self.state = None
         self.stats: dict | None = None

@@ -14,7 +14,13 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
-__all__ = ["UNetConfig", "DataConfig", "TrainConfig", "ExperimentConfig"]
+__all__ = [
+    "UNetConfig",
+    "ConvLSTMConfig",
+    "DataConfig",
+    "TrainConfig",
+    "ExperimentConfig",
+]
 
 
 @dataclass(frozen=True)
@@ -28,6 +34,7 @@ class UNetConfig:
     connections concatenated channels-wise.
     """
 
+    kind: str = "unet"
     output_channels: int = 8
     filters: tuple[int, ...] = (32, 64, 128)
     convs_per_block: int = 2
@@ -46,6 +53,36 @@ class UNetConfig:
             raise ValueError("filters must be non-empty")
         if self.pooling not in ("avg", "max"):
             raise ValueError(f"pooling must be avg|max, got {self.pooling!r}")
+
+
+@dataclass(frozen=True)
+class ConvLSTMConfig:
+    """Recurrent (stacked ConvLSTM) forecast network on the cubed sphere.
+
+    The reference's ``is_recurrent=True`` model family (Keras ``ConvLSTM2D``
+    assembled by ``DLWPNeuralNet.build_model`` — SURVEY.md §2 rows 5-6).
+    ``filters[i]`` is the hidden width of recurrent layer ``i``; all but the
+    last return full sequences.  The folded-channel decomposition fields
+    (``input_time_steps``/``variable_channels``/``add_insolation``) are
+    derived from the DataConfig by ``ExperimentConfig.resolved_model``.
+    """
+
+    kind: str = "convlstm"
+    output_channels: int = 8
+    filters: tuple[int, ...] = (32, 32)
+    kernel_size: tuple[int, int] = (3, 3)
+    head_kernel_size: tuple[int, int] = (1, 1)
+    separate_polar_weights: bool = True
+    compute_dtype: str = "float32"
+    conv_backend: str = "auto"
+    # Folded-input decomposition (see data/channels.py):
+    input_time_steps: int = 2
+    variable_channels: int = 4
+    add_insolation: bool = True
+
+    def __post_init__(self):
+        if len(self.filters) < 1:
+            raise ValueError("filters must be non-empty")
 
 
 @dataclass(frozen=True)
@@ -112,11 +149,19 @@ class TrainConfig:
 @dataclass(frozen=True)
 class ExperimentConfig:
     data: DataConfig = field(default_factory=DataConfig)
-    model: UNetConfig = field(default_factory=UNetConfig)
+    model: Any = field(default_factory=UNetConfig)  # UNetConfig | ConvLSTMConfig
     train: TrainConfig = field(default_factory=TrainConfig)
 
-    def resolved_model(self) -> UNetConfig:
-        """Model config with output_channels derived from the data config."""
+    def resolved_model(self):
+        """Model config with data-derived fields filled in."""
+        if isinstance(self.model, ConvLSTMConfig):
+            return dataclasses.replace(
+                self.model,
+                output_channels=self.data.output_channels,
+                input_time_steps=self.data.input_time_steps,
+                variable_channels=self.data.n_variables,
+                add_insolation=self.data.add_insolation,
+            )
         return dataclasses.replace(
             self.model, output_channels=self.data.output_channels
         )
@@ -128,9 +173,13 @@ class ExperimentConfig:
     @classmethod
     def from_json(cls, text: str) -> "ExperimentConfig":
         raw = json.loads(text)
+        model_raw = raw.get("model", {})
+        model_cls = (
+            ConvLSTMConfig if model_raw.get("kind") == "convlstm" else UNetConfig
+        )
         return cls(
             data=_load(DataConfig, raw.get("data", {})),
-            model=_load(UNetConfig, raw.get("model", {})),
+            model=_load(model_cls, model_raw),
             train=_load(TrainConfig, raw.get("train", {})),
         )
 

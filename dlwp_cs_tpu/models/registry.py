@@ -31,6 +31,8 @@ _MODULES = {
     "CubeSphereConv2D": CubeSphereConv2D,
     "Dense": nn.Dense,
 }
+# "CubeSphereConvLSTM" is added by models/__init__ via register_layer
+# (convlstm.py imports layers.py, so registry can't import it here).
 
 # Stateless ops: called as fn(x, *args, **kwargs).
 _FUNCTIONS = {
