@@ -217,3 +217,36 @@ class TestConfigAndEstimator:
         np.testing.assert_allclose(
             np.asarray(fc.fields), np.asarray(fc2.fields), atol=1e-5
         )
+
+
+class TestShardedConvLSTM:
+    """The recurrent family under the spatial (shard_map) decomposition:
+    the in-scan cs_conv calls pick up the sharded halo exchange via the
+    installed pad impl, so the family shards like the U-Net."""
+
+    @pytest.fixture(scope="class")
+    def eight_devices(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return jax.devices()[:8]
+
+    def test_spatial_apply_matches_single_device(self, eight_devices):
+        from dlwp_cs_tpu.parallel import create_mesh, make_spatial_apply
+
+        cfg = ConvLSTMConfig(
+            output_channels=4,
+            filters=(4, 4),
+            input_time_steps=2,
+            variable_channels=2,
+            add_insolation=True,
+        )
+        net = CubeSphereConvLSTMNet(cfg)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(
+            rng.normal(size=(2, 6, 16, 16, 2 * 2 + 2 + 1)).astype(np.float32)
+        )
+        params = net.init(jax.random.PRNGKey(2), x)
+        ref = np.asarray(net.apply(params, x))
+        mesh = create_mesh(data=2, spatial=4)
+        out = np.asarray(make_spatial_apply(net.apply, mesh)(params, x))
+        np.testing.assert_allclose(out, ref, atol=5e-5)
