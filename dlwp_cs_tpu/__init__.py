@@ -10,7 +10,8 @@ Subpackages
 -----------
 - ``geometry``: cubed-sphere grid spec, face connectivity, insolation.
 - ``ops``: halo padding, cubed-sphere convolution (XLA + Pallas), pooling.
-- ``models``: U-Net and model configuration / builder.
+- ``models``: U-Net + recurrent ConvLSTM families, configuration / builder,
+  CPU-torch mirror (cross-framework oracle).
 - ``data``: series windowing, preprocessing, predictor stores, ERA5 retrieval.
 - ``remap``: lat-lon <-> cubed-sphere remapping (weights + JAX application).
 - ``parallel``: meshes, shardings, distributed halo exchange.

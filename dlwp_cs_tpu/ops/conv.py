@@ -195,19 +195,39 @@ def cs_conv(
 def _on_tpu() -> bool:
     """True when 'auto' should pick the Pallas kernel (trace-time dispatch).
 
-    Single TPU device only: under multi-device GSPMD a ``pallas_call`` is an
-    opaque custom call the partitioner cannot split, so sharded jit paths
-    keep the ring-fix formulation (shard_map paths install their own pad
-    impl and never reach this dispatch).
+    Single TPU device, OR inside a :func:`shard_local_region` — a shard_map
+    body whose shards each hold complete faces (data-only sharding), where
+    the kernel runs per-device and the partitioner never sees it.  Outside
+    such a region, multi-device GSPMD keeps the ring-fix formulation: a
+    ``pallas_call`` is an opaque custom call the partitioner cannot split
+    (spatially sharded shard_map paths install their own pad impl and never
+    reach this dispatch).
     """
     import jax
 
     try:
-        return (
-            jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+        return jax.devices()[0].platform == "tpu" and (
+            jax.device_count() == 1 or _SHARD_LOCAL.get()
         )
     except Exception:
         return False
+
+
+_SHARD_LOCAL: contextvars.ContextVar = contextvars.ContextVar(
+    "cs_conv_shard_local", default=False
+)
+
+
+@contextlib.contextmanager
+def shard_local_region():
+    """Mark the enclosed trace as per-device shard_map code with complete
+    faces per shard, making the fused Pallas conv eligible on multi-chip
+    TPU meshes (used by the shard_map data-parallel train step)."""
+    token = _SHARD_LOCAL.set(True)
+    try:
+        yield
+    finally:
+        _SHARD_LOCAL.reset(token)
 
 
 def _pad_impl_installed() -> bool:

@@ -17,6 +17,7 @@ from dlwp_cs_tpu.parallel.multihost import (
 from dlwp_cs_tpu.parallel.scaling import ScalingResult, measure_scaling
 from dlwp_cs_tpu.parallel.sharding import (
     make_dp_eval_step,
+    make_dp_shardmap_train_step,
     make_dp_train_step,
     make_spatial_apply,
     make_spatial_train_step,
@@ -38,6 +39,7 @@ __all__ = [
     "ScalingResult",
     "measure_scaling",
     "make_dp_eval_step",
+    "make_dp_shardmap_train_step",
     "make_dp_train_step",
     "make_spatial_apply",
     "make_spatial_train_step",

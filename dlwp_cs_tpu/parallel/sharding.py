@@ -36,6 +36,7 @@ from dlwp_cs_tpu.train.train_step import TrainState
 
 __all__ = [
     "make_dp_train_step",
+    "make_dp_shardmap_train_step",
     "make_dp_scanned_train_step",
     "make_dp_eval_step",
     "make_spatial_train_step",
@@ -77,6 +78,45 @@ def make_dp_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_dp_shardmap_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
+    """Data-parallel step as ``shard_map`` (vs GSPMD in
+    :func:`make_dp_train_step`): the per-shard forward/backward is traced as
+    single-device code inside a :func:`~dlwp_cs_tpu.ops.conv.shard_local_region`,
+    so the ``auto`` conv dispatch keeps the fused Pallas kernel on multi-chip
+    TPU meshes (a ``pallas_call`` is opaque to the GSPMD partitioner, which
+    forces the jit path back to ring-fix).  Gradients and loss are
+    ``pmean``-ed over ``data``; params/optimizer state stay replicated.
+
+    Numerically equivalent to the GSPMD step (equal-size shards; pinned by
+    tests); use it whenever the model is *not* spatially decomposed.
+    """
+    from dlwp_cs_tpu.ops.conv import shard_local_region
+
+    def local_step(state: TrainState, inputs, targets):
+        def loss_of(params):
+            with shard_local_region():
+                return loss_fn(apply_fn(params, inputs), targets)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        grads = lax.pmean(grads, DATA_AXIS)
+        loss = lax.pmean(loss, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def make_dp_scanned_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):

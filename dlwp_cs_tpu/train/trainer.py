@@ -88,6 +88,10 @@ class Trainer:
       mesh: optional ``('data', 'spatial')`` mesh — enables GSPMD
         data-parallel training (batch sharded over 'data'; global batch must
         divide by the data axis size).
+      dp_impl: ``'gspmd'`` (default) or ``'shard_map'`` — the latter traces
+        the per-shard step as single-device code, keeping the fused Pallas
+        conv eligible on multi-chip TPU meshes (equivalence pinned by
+        tests/test_parallel.py).
     """
 
     def __init__(
@@ -99,6 +103,7 @@ class Trainer:
         workdir: str | Path | None = None,
         profile_steps: tuple[int, int] | None = None,
         mesh=None,
+        dp_impl: str = "gspmd",
     ):
         self.model = model
         self.cfg = cfg
@@ -110,11 +115,21 @@ class Trainer:
                 model.apply, self.optimizer, self.loss_fn
             )
         else:
-            # GSPMD data-parallel step over the mesh's 'data' axis
+            # Data-parallel step over the mesh's 'data' axis
             # (SURVEY.md §7 M5 / BASELINE config 4).
-            from dlwp_cs_tpu.parallel.sharding import make_dp_train_step
+            from dlwp_cs_tpu.parallel.sharding import (
+                make_dp_shardmap_train_step,
+                make_dp_train_step,
+            )
 
-            self.train_step = make_dp_train_step(
+            if dp_impl not in ("gspmd", "shard_map"):
+                raise ValueError(f"dp_impl must be gspmd|shard_map, got {dp_impl!r}")
+            maker = (
+                make_dp_shardmap_train_step
+                if dp_impl == "shard_map"
+                else make_dp_train_step
+            )
+            self.train_step = maker(
                 model.apply, self.optimizer, self.loss_fn, mesh
             )
         if mesh is None:

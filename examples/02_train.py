@@ -20,11 +20,12 @@ from pathlib import Path
 from dlwp_cs_tpu.data import SeriesDataset, open_store, prefetch_to_device
 from dlwp_cs_tpu.geometry import CubedSphere
 from dlwp_cs_tpu.models import (
-    CubeSphereUNet,
+    ConvLSTMConfig,
     DataConfig,
     ExperimentConfig,
     TrainConfig,
     UNetConfig,
+    build_model,
 )
 from dlwp_cs_tpu.train import Trainer
 from dlwp_cs_tpu.utils import save_checkpoint, save_json
@@ -36,6 +37,11 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--filters", type=int, nargs="+", default=[32, 64, 128])
+    ap.add_argument(
+        "--model", choices=("unet", "convlstm"), default="unet",
+        help="model family: cubed-sphere U-Net (default) or the recurrent "
+        "ConvLSTM stack (the reference's is_recurrent path)",
+    )
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--val-frac", type=float, default=0.15)
@@ -67,11 +73,21 @@ def main() -> int:
     train_ds = SeriesDataset(train_store, dcfg, shuffle=True, **common)
     val_ds = SeriesDataset(val_store, dcfg, **common)
 
-    mcfg = UNetConfig(
-        output_channels=dcfg.output_channels,
-        filters=tuple(args.filters),
-        compute_dtype="bfloat16" if args.bf16 else "float32",
-    )
+    if args.model == "convlstm":
+        mcfg = ConvLSTMConfig(
+            output_channels=dcfg.output_channels,
+            filters=tuple(args.filters),
+            input_time_steps=dcfg.input_time_steps,
+            variable_channels=dcfg.n_variables,
+            add_insolation=dcfg.add_insolation,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+        )
+    else:
+        mcfg = UNetConfig(
+            output_channels=dcfg.output_channels,
+            filters=tuple(args.filters),
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+        )
     tcfg = TrainConfig(
         batch_size=args.batch,
         learning_rate=args.lr,
@@ -80,7 +96,7 @@ def main() -> int:
         early_stopping_patience=args.patience,
         checkpoint_every_epochs=max(1, args.epochs // 5),
     )
-    model = CubeSphereUNet(mcfg)
+    model = build_model(mcfg)
     trainer = Trainer(model, tcfg, workdir=workdir)
     x0, _ = train_ds.make_batch(train_ds._starts[: args.batch])
     state = trainer.init(x0)

@@ -19,7 +19,7 @@ import jax
 
 from dlwp_cs_tpu.data import open_store
 from dlwp_cs_tpu.geometry import CubedSphere
-from dlwp_cs_tpu.models import CubeSphereUNet, ExperimentConfig
+from dlwp_cs_tpu.models import ExperimentConfig, build_model
 from dlwp_cs_tpu.rollout import TimeSeriesEstimator
 from dlwp_cs_tpu.train import init_state, make_optimizer
 from dlwp_cs_tpu.utils import load_json, restore_checkpoint
@@ -30,7 +30,7 @@ def load_model(workdir: Path):
     # payload written by save_json in example 02).
     cfg = ExperimentConfig.from_json(load_json(workdir / "model" / "experiment.json"))
     stats = load_json(workdir / "model" / "stats.json")
-    model = CubeSphereUNet(cfg.resolved_model())
+    model = build_model(cfg.resolved_model())
     n = cfg.data.grid_n
     import jax.numpy as jnp
 

@@ -125,6 +125,33 @@ class TestShardedModel:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_dp_shardmap_step_matches_single(self, eight_devices):
+        """shard_map DP (the variant keeping the Pallas conv eligible on
+        multi-chip TPU) == single-device step == GSPMD DP."""
+        from dlwp_cs_tpu.parallel.sharding import make_dp_shardmap_train_step
+
+        cfg = UNetConfig(output_channels=2, filters=(4, 8))
+        model = CubeSphereUNet(cfg)
+        x = _rand((8, 6, N, N, 3), seed=0)
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = _rand((8, 6, N, N, 2), seed=5)
+        opt = make_optimizer(TrainConfig(learning_rate=1e-3))
+
+        ref_state, ref_m = make_train_step(model.apply, opt, mse)(
+            init_state(_copy(params), opt), x, y
+        )
+        mesh = create_mesh(data=8, spatial=1)
+        sm_step = make_dp_shardmap_train_step(model.apply, opt, mse, mesh)
+        state, m = sm_step(init_state(_copy(params), opt), *shard_batch((x, y), mesh))
+        assert float(m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-5)
+        assert float(m["grad_norm"]) == pytest.approx(
+            float(ref_m["grad_norm"]), rel=1e-4
+        )
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(ref_state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_spatial_step_matches_single(self, eight_devices):
         model, params, x = self._setup()
         y = _rand((4, 6, N, N, 2), seed=5)
