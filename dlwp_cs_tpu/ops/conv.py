@@ -244,7 +244,11 @@ def _pad_impl_installed() -> bool:
 
 def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
     """Dispatch to the VMEM-fused Pallas kernel when applicable; else None."""
-    from dlwp_cs_tpu.ops.pallas_conv import cs_conv3x3_pallas, pallas_supported
+    from dlwp_cs_tpu.ops.pallas_conv import (
+        backward_mode,
+        cs_conv3x3_pallas,
+        pallas_supported,
+    )
 
     if _pad_impl_installed():
         return None
@@ -260,4 +264,5 @@ def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
         zb if b_eq is None else b_eq,
         zb if b_pole is None else b_pole,
         interpret,
+        backward_mode(),
     )

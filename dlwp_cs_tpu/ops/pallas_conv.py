@@ -46,6 +46,8 @@ Reference parity: CubeSpherePadding2D + CubeSphereConv2D fused
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -59,8 +61,33 @@ from dlwp_cs_tpu.ops.halo import ext_strips
 __all__ = [
     "cs_conv3x3_pallas",
     "pallas_supported",
+    "use_pallas_backward",
     "vmem_estimate_bytes",
 ]
+
+# Backward-mode selection for 'auto'/'pallas' dispatch (ops.conv reads this at
+# trace time).  Modes: "xla" (composition VJP, default), "hybrid" (Pallas dx
+# kernel + XLA weight grads), "fused" (all-Pallas two-kernel backward).
+_BWD_MODE: contextvars.ContextVar = contextvars.ContextVar(
+    "cs_conv3x3_pallas_bwd", default="xla"
+)
+
+
+@contextlib.contextmanager
+def use_pallas_backward(mode: str):
+    """Within this context, Pallas-conv dispatch uses backward ``mode``
+    ("xla" | "hybrid" | "fused") — perf ablation / selection knob."""
+    if mode not in ("xla", "hybrid", "fused"):
+        raise ValueError(f"unknown pallas backward mode {mode!r}")
+    token = _BWD_MODE.set(mode)
+    try:
+        yield
+    finally:
+        _BWD_MODE.reset(token)
+
+
+def backward_mode() -> str:
+    return _BWD_MODE.get()
 
 
 def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
@@ -133,6 +160,71 @@ def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
+def _kernel_npack(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref,
+                  xpad, *, n):
+    """Lane-packed variant for small channel counts (kn2row formulation).
+
+    The base kernel's 9 taps run (n, n, Cin) x (Cin, Cout) contractions; at
+    the U-Net's outer levels (Cin = Cout = 32) that leaves the 128x128 MXU
+    ~94% idle (measured 5.4 TF/s at n=48/c=32 vs 71.9 at n=12/c=128 —
+    tools/conv_micro.py).  Here ALL 9 taps go through ONE contraction with
+    the tap-packed kernel matrix ``(Cin, 9*Cout)`` — the output lane dim is
+    9x wider, so MXU column utilization is full for Cout >= 15 — followed by
+    9 shifted lane-sliced adds (VPU, O(n^2 * 9 * Cout)).  The W/E ghost
+    boundary-column corrections are identical to the base kernel and reuse
+    lane slices of the packed matrix.
+    """
+    cout = out_ref.shape[-1]
+    f = pl.program_id(1)
+    is_equatorial = f < 4
+    kmat = jnp.where(is_equatorial, keq_ref[...], kpo_ref[...])  # (Cin, 9*Cout)
+
+    xpad[:, :, :] = jnp.zeros(xpad.shape, xpad.dtype)
+    xpad[1 : n + 1, 1 : n + 1, :] = x_ref[0, 0]
+    xpad[0, :, :] = ext_ref[0, 0, 0]      # S ghost row incl. corners
+    xpad[n + 1, :, :] = ext_ref[0, 0, 1]  # N ghost row incl. corners
+    # ---- three dy-row contractions, each 3-tap lane-packed ---------------
+    # (one (Cin, 9*Cout) dot over the whole padded plane blew the 16 MB
+    # scoped-VMEM budget at n=48 — the 9 lane-sliced consumers materialize
+    # padded copies; per-dy dots keep the live product at (n, n+2, 3*Cout))
+    acc = jnp.zeros((n, n, cout), jnp.float32)
+    for dy in range(3):
+        prod = jax.lax.dot_general(
+            xpad[dy : dy + n, :, :],
+            kmat[:, dy * 3 * cout : (dy + 1) * 3 * cout],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, n+2, 3*Cout) f32
+        for dx in range(3):
+            acc += prod[:, dx : dx + n, dx * cout : (dx + 1) * cout]
+    # ---- W/E ghost-column corrections (same as the base kernel) ----------
+    row2 = lax.broadcasted_iota(jnp.int32, (n + 2, 1), 0)
+    interior = jnp.logical_and(row2 > 0, row2 < n + 1)
+    w_strip = jnp.where(interior, ext_ref[0, 0, 2], 0).astype(xpad.dtype)
+    e_strip = jnp.where(interior, ext_ref[0, 0, 3], 0).astype(xpad.dtype)
+    cw = jnp.zeros((n, cout), jnp.float32)
+    ce = jnp.zeros((n, cout), jnp.float32)
+    for dy in range(3):
+        gw = dy * 3 + 0
+        ge = dy * 3 + 2
+        cw += jax.lax.dot_general(
+            w_strip[dy : dy + n], kmat[:, gw * cout : (gw + 1) * cout],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ce += jax.lax.dot_general(
+            e_strip[dy : dy + n], kmat[:, ge * cout : (ge + 1) * cout],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    col = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    acc += jnp.where(col == 0, cw[:, None, :], 0.0)
+    acc += jnp.where(col == n - 1, ce[:, None, :], 0.0)
+    bias = jnp.where(is_equatorial, beq_ref[:], bpo_ref[:])  # (1, Cout)
+    acc += bias[None].astype(jnp.float32)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
 def vmem_estimate_bytes(n: int, cin: int, cout: int, dtype_bytes: int = 4) -> int:
     """Rough VMEM footprint of the fused kernel for feasibility gating.
 
@@ -168,10 +260,26 @@ def cs_conv3x3_pallas(x, k_eq, k_pole, b_eq, b_pole, interpret=False,
 
     ``b_eq``/``b_pole`` are required (pass zeros for no bias) so the VJP
     signature stays static.  ``interpret=True`` runs the Pallas interpreter
-    (CPU tests).  ``fused_backward`` selects the all-Pallas backward (the
-    default XLA-composition VJP measured faster on v5e — module docstring).
+    (CPU tests).  ``fused_backward`` selects the backward formulation:
+    ``False``/"xla" (composition VJP), "hybrid" (Pallas dx kernel + XLA
+    weight grads), ``True``/"fused" (all-Pallas; measured slower on v5e —
+    module docstring).  Model-level selection: :func:`use_pallas_backward`.
     """
     return _forward(x, k_eq, k_pole, b_eq, b_pole, interpret)
+
+
+def _npack_eligible(n: int, cin: int, cout: int) -> bool:
+    """Lane-packed (kn2row) kernel dispatch — currently DISABLED.
+
+    Measured on v5e (tools/conv_micro.py): the base kernel's (Cin, Cout)
+    contraction underfills the MXU at the U-Net's outer levels (5.4 TF/s at
+    n=48/c=32 vs 71.9 at n=12/c=128), but consuming the tap-packed product
+    via sub-tile lane slices makes Mosaic materialize padded copies of every
+    slice — 30-37 MB of scoped VMEM at n=48, over the 16 MB budget, in both
+    whole-plane and per-dy formulations.  The kernel is kept for interpret-
+    mode tests; small-channel MXU packing continues in tools/kernel_variants
+    (batch->lane block-diagonal packing needs no lane slicing)."""
+    return False
 
 
 def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
@@ -180,11 +288,17 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
     cout = k_eq.shape[-1]
     ext = ext_strips(x)  # (B, 6, 4, n+2, C) — corner ghosts included
-    kernel = functools.partial(_kernel, n=n)
     b_eq = b_eq.reshape(1, cout).astype(x.dtype)
     b_pole = b_pole.reshape(1, cout).astype(x.dtype)
     k_eq = k_eq.astype(x.dtype)
     k_pole = k_pole.astype(x.dtype)
+    if _npack_eligible(n, cin, cout):
+        kernel = functools.partial(_kernel_npack, n=n)
+        # tap-packed (Cin, 9*Cout): kmat[ci, (dy*3+dx)*Cout + co] = K[dy,dx,ci,co]
+        k_eq = k_eq.transpose(2, 0, 1, 3).reshape(cin, 9 * cout)
+        k_pole = k_pole.transpose(2, 0, 1, 3).reshape(cin, 9 * cout)
+    else:
+        kernel = functools.partial(_kernel, n=n)
     flops = 2 * b * 6 * n * n * 9 * cin * cout
     return pl.pallas_call(
         kernel,
@@ -300,40 +414,72 @@ def _bwd_dw_kernel(x_ref, ext_ref, dout_ref, dcols_ref, keq_ref, kpo_ref,
     )
 
 
-def _backward_all(x, ext, k_eq, k_pole, g, interpret):
+def _blk_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda i, f: (i, f) + (0,) * (len(shape) - 2),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _dx_via_kernel(x_shape, x_dtype, k_eq, k_pole, g, interpret):
+    """Input cotangent via the Pallas dxp kernel + scatter-free Eᵀ fold.
+
+    One pallas_call (same cost class as the fused forward) instead of the
+    XLA composition's ~15 small ops; shared by the "hybrid" and "fused"
+    backward modes.
+    """
     from dlwp_cs_tpu.ops.halo import _ext_transpose
 
+    b, _, n, _, cin = x_shape
+    cout = k_eq.shape[-1]
+    dt = x_dtype
+    g = g.astype(dt)
+    # channel-transposed kernels for the dxp correlation (dxp[a,b] =
+    # sum_taps K[dy,dx]^T dout[a-dy, b-dx] — no spatial flip: the shifted
+    # dpad slices realize the -dy/-dx offsets directly)
+    kT_eq = k_eq.astype(dt).swapaxes(2, 3)
+    kT_po = k_pole.astype(dt).swapaxes(2, 3)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dxp = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, n=n),
+        grid=(b, 6),
+        in_specs=[_blk_spec((1, 1, n, n, cout)), full, full],
+        out_specs=_blk_spec((1, 1, n + 2, n + 2, cin)),
+        out_shape=jax.ShapeDtypeStruct((b, 6, n + 2, n + 2, cin), dt),
+        scratch_shapes=[pltpu.VMEM((n + 4, n + 4, cout), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 6 * (n + 2) * (n + 2) * 9 * cin * cout,
+            bytes_accessed=2 * b * 6 * n * n * cin * jnp.dtype(dt).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g, kT_eq, kT_po)
+    # dx = interior of dxp + E^T of the boundary-ring cotangent
+    dx = dxp[:, :, 1 : n + 1, 1 : n + 1, :]
+    zero_ends = jnp.ones((n + 2, 1), dxp.dtype).at[0, 0].set(0).at[n + 1, 0].set(0)
+    d_ext = jnp.stack(
+        [
+            dxp[:, :, 0, :, :],                      # S row (incl. corners)
+            dxp[:, :, n + 1, :, :],                  # N row (incl. corners)
+            dxp[:, :, :, 0, :] * zero_ends,          # W col (interior only)
+            dxp[:, :, :, n + 1, :] * zero_ends,      # E col (interior only)
+        ],
+        axis=2,
+    )  # (B, 6, 4, n+2, Cin)
+    return dx + _ext_transpose(d_ext)
+
+
+def _backward_all(x, ext, k_eq, k_pole, g, interpret):
     b, _, n, _, cin = x.shape
     cout = k_eq.shape[-1]
     dt = x.dtype
     g = g.astype(dt)
     k_eq = k_eq.astype(dt)
     k_pole = k_pole.astype(dt)
-    # channel-transposed kernels for the dxp correlation (dxp[a,b] =
-    # sum_taps K[dy,dx]^T dout[a-dy, b-dx] — no spatial flip: the shifted
-    # dpad slices realize the -dy/-dx offsets directly)
-    kT_eq = k_eq.swapaxes(2, 3)
-    kT_po = k_pole.swapaxes(2, 3)
     dcols = jnp.stack([g[:, :, :, 0, :], g[:, :, :, n - 1, :]], axis=2)
-    blk = lambda shape: pl.BlockSpec(
-        shape, lambda i, f: (i, f) + (0,) * (len(shape) - 2),
-        memory_space=pltpu.VMEM,
-    )
+    blk = _blk_spec
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    dxp = pl.pallas_call(
-        functools.partial(_bwd_dx_kernel, n=n),
-        grid=(b, 6),
-        in_specs=[blk((1, 1, n, n, cout)), full, full],
-        out_specs=blk((1, 1, n + 2, n + 2, cin)),
-        out_shape=jax.ShapeDtypeStruct((b, 6, n + 2, n + 2, cin), dt),
-        scratch_shapes=[pltpu.VMEM((n + 4, n + 4, cout), dt)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * 6 * (n + 2) * (n + 2) * 9 * cin * cout,
-            bytes_accessed=2 * x.size * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(g, kT_eq, kT_po)
+    dx = _dx_via_kernel(x.shape, x.dtype, k_eq, k_pole, g, interpret)
     dk_all, db_all = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, n=n),
         grid=(b, 6),
@@ -365,19 +511,6 @@ def _backward_all(x, ext, k_eq, k_pole, g, interpret):
     dkpo = jnp.sum(dk_all[:, 4:], axis=(0, 1))
     dbeq = jnp.sum(db_all[:, :4], axis=(0, 1))
     dbpo = jnp.sum(db_all[:, 4:], axis=(0, 1))
-    # dx = interior of dxp + E^T of the boundary-ring cotangent
-    dx = dxp[:, :, 1 : n + 1, 1 : n + 1, :]
-    zero_ends = jnp.ones((n + 2, 1), dxp.dtype).at[0, 0].set(0).at[n + 1, 0].set(0)
-    d_ext = jnp.stack(
-        [
-            dxp[:, :, 0, :, :],                      # S row (incl. corners)
-            dxp[:, :, n + 1, :, :],                  # N row (incl. corners)
-            dxp[:, :, :, 0, :] * zero_ends,          # W col (interior only)
-            dxp[:, :, :, n + 1, :] * zero_ends,      # E col (interior only)
-        ],
-        axis=2,
-    )  # (B, 6, 4, n+2, Cin)
-    dx = dx + _ext_transpose(d_ext)
     return dx, dkeq, dkpo, dbeq, dbpo
 
 
@@ -396,12 +529,28 @@ def _fwd(x, k_eq, k_pole, b_eq, b_pole, interpret, fused_backward):
 
 def _bwd(interpret, fused_backward, res, g):
     x, k_eq, k_pole, b_eq, b_pole = res
-    if not fused_backward:
+    mode = {False: "xla", True: "fused"}.get(fused_backward, fused_backward)
+    if mode == "xla":
         # Exact VJP of the identical linear+bias map via the scatter-free
         # XLA ring-fix composition (ext_strips carries its transpose-gather
         # VJP; the unused primal is dead-code-eliminated by XLA).
         _, pullback = jax.vjp(_xla_reference, x, k_eq, k_pole, b_eq, b_pole)
         return pullback(g)
+    if mode == "hybrid":
+        # dx via ONE Pallas kernel (the expensive composition half: the
+        # XLA dx path re-runs the whole halo machinery in transpose);
+        # weight/bias grads via the XLA VJP restricted to the weight
+        # arguments — those are clean batched contractions XLA already
+        # emits as fused transpose matmuls, and skipping the all-Pallas dw
+        # kernel avoids its (B, 6, 3, 3, Cin, Cout) HBM round-trip (the
+        # reason the "fused" mode measured slower — module docstring).
+        dx = _dx_via_kernel(x.shape, x.dtype, k_eq, k_pole, g, interpret)
+        _, pullback = jax.vjp(
+            lambda ke, kp, be, bp: _xla_reference(x, ke, kp, be, bp),
+            k_eq, k_pole, b_eq, b_pole,
+        )
+        dkeq, dkpo, dbeq, dbpo = pullback(g)
+        return dx, dkeq, dkpo, dbeq, dbpo
     ext = ext_strips(x)
     dx, dkeq, dkpo, dbeq, dbpo = _backward_all(
         x, ext, k_eq, k_pole, g, interpret

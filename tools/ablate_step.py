@@ -66,23 +66,31 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return max((best - t_over) / CHAIN, 1e-9)
 
+    from dlwp_cs_tpu.ops.pallas_conv import use_pallas_backward
+
     results = {}
-    for backend in ("auto", "same", "pallas", "ringfix"):
+    variants = [(b, "xla") for b in ("auto", "same", "pallas", "ringfix")]
+    variants += [("pallas", "hybrid"), ("pallas", "fused")]
+    for backend, bwd in variants:
         model, params = model_for(backend)
         opt = make_optimizer(TrainConfig(learning_rate=1e-3))
         step = make_train_step(model.apply, opt, mse, jit=False)
 
-        @jax.jit
-        def run_train(state, step=step):
+        def run_train_fn(state, step=step, bwd=bwd):
             def body(s, _):
                 s, m = step(s, x, y)
                 return s, m["loss"]
 
-            _, losses = lax.scan(body, state, None, length=CHAIN)
+            with use_pallas_backward(bwd):
+                _, losses = lax.scan(body, state, None, length=CHAIN)
             return losses[-1]
 
+        run_train = jax.jit(run_train_fn)
         state = init_state(params, opt)
-        results[f"train/{backend}"] = time_chain(run_train, state)
+        tag = backend if bwd == "xla" else f"{backend}+{bwd}"
+        results[f"train/{tag}"] = time_chain(run_train, state)
+        if bwd != "xla":
+            continue
 
         @jax.jit
         def run_fwd(params, model=model):
