@@ -56,6 +56,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dlwp_cs_tpu.ops import packing
 from dlwp_cs_tpu.ops.halo import ext_strips
 
 __all__ = [
@@ -282,25 +283,52 @@ def _npack_eligible(n: int, cin: int, cout: int) -> bool:
     return False
 
 
+def _pack_factor(b: int, n: int, cin: int, cout: int) -> int:
+    """Batch->lane packing factor for small-channel convs.
+
+    A (n, n, 32) x (32, 32) tap leaves the 128x128 MXU ~94% idle (measured
+    5.0 TF/s at n=48/c=32 vs 71.9 at c=128 — tools/kernel_variants.py).
+    Packing p batch items into the lane dim and convolving with
+    block-diagonal tap weights trades p x wasted MACs for a ~p^2 x better
+    MXU fill: 2.1x measured per conv including the XLA pack/unpack
+    transposes, and XLA cancels adjacent unpack∘elementwise∘pack pairs
+    between consecutive convs.  The packed call computes the exact same
+    linear map, so the VJP (XLA composition) is untouched.
+    """
+    p = packing.pack_factor(b, cin, cout)
+    while p > 1 and vmem_estimate_bytes(n, p * cin, p * cout, 2) >= 10 * 2**20:
+        p //= 2
+    return p
+
+
 def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
     b, nf, n, n2, cin = x.shape
     if nf != 6 or n != n2:
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
     cout = k_eq.shape[-1]
-    ext = ext_strips(x)  # (B, 6, 4, n+2, C) — corner ghosts included
-    b_eq = b_eq.reshape(1, cout).astype(x.dtype)
-    b_pole = b_pole.reshape(1, cout).astype(x.dtype)
     k_eq = k_eq.astype(x.dtype)
     k_pole = k_pole.astype(x.dtype)
-    if _npack_eligible(n, cin, cout):
-        kernel = functools.partial(_kernel_npack, n=n)
-        # tap-packed (Cin, 9*Cout): kmat[ci, (dy*3+dx)*Cout + co] = K[dy,dx,ci,co]
-        k_eq = k_eq.transpose(2, 0, 1, 3).reshape(cin, 9 * cout)
-        k_pole = k_pole.transpose(2, 0, 1, 3).reshape(cin, 9 * cout)
-    else:
-        kernel = functools.partial(_kernel, n=n)
+    b_eq = b_eq.reshape(1, cout).astype(x.dtype)
+    b_pole = b_pole.reshape(1, cout).astype(x.dtype)
+    # ext strips computed on the UNPACKED x: the training backward (the XLA
+    # composition VJP) recomputes ext_strips(x) from the residual, and XLA
+    # CSE shares it with this one only if the operands are identical —
+    # packing first was measured to cost the full gather a second time in
+    # the backward (~1.7 ms/step).  The strips are channel-agnostic, so
+    # packing the small strips tensor afterwards is equivalent.
+    ext = ext_strips(x)  # (B, 6, 4, n+2, C) — corner ghosts included
+    p = _pack_factor(b, n, cin, cout)
+    if p > 1:
+        x = packing.pack_batch(x, p)
+        ext = packing.pack_batch(ext, p)
+        k_eq = packing.block_diag_taps(k_eq, p)
+        k_pole = packing.block_diag_taps(k_pole, p)
+        b_eq = jnp.tile(b_eq, (1, p))
+        b_pole = jnp.tile(b_pole, (1, p))
+        b, cin, cout = b // p, p * cin, p * cout
+    kernel = functools.partial(_kernel, n=n)
     flops = 2 * b * 6 * n * n * 9 * cin * cout
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, 6),
         in_specs=[
@@ -330,6 +358,7 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
         ),
         interpret=interpret,
     )(x, ext, k_eq, k_pole, b_eq, b_pole)
+    return packing.unpack_batch(out, p) if p > 1 else out
 
 
 def _bwd_dx_kernel(dout_ref, kTeq_ref, kTpo_ref, dxp_ref, dpad, *, n):

@@ -67,7 +67,11 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
 
     # 1. base conv per weight group (two calls measured cheaper than one
-    # six-face call plus a polar correction conv).
+    # six-face call plus a polar correction conv).  NOTE: batch->lane
+    # packing (ops.packing) was tried here too and REVERTED: the packed
+    # composition's VJP adds pack(x)/pack(g)/unpack(dx) relayouts per conv
+    # that cost more than the MXU fill gain (full-model train step 13.5 ms
+    # packed vs 12.4 unpacked backward — PERF.md round-2 continuation).
     base_eq = _same_conv(x[:, :4], k_eq)
     base_po = _same_conv(x[:, 4:], k_pole)
     out = jnp.concatenate([base_eq, base_po], axis=1)

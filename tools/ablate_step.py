@@ -70,7 +70,9 @@ def main() -> int:
 
     results = {}
     variants = [(b, "xla") for b in ("auto", "same", "pallas", "ringfix")]
-    variants += [("pallas", "hybrid"), ("pallas", "fused")]
+    if "--all" in sys.argv:
+        # measured-dead backward modes (PERF.md): compile-expensive, opt-in
+        variants += [("pallas", "hybrid"), ("pallas", "fused")]
     for backend, bwd in variants:
         model, params = model_for(backend)
         opt = make_optimizer(TrainConfig(learning_rate=1e-3))

@@ -203,6 +203,151 @@ def main() -> int:
         print(f"{'bdonly':10s} {t * 1e6:8.1f} us/conv  {flops / t / 1e12:6.1f} TF/s"
               f"  maxerr={err:.3e}", flush=True)
 
+    # --- packed XLA SAME conv (differentiable: would speed fwd AND VJP) ---
+    from dlwp_cs_tpu.ops.ringfix import _same_conv
+
+    def xla_same(v):
+        return jnp.concatenate(
+            [_same_conv(v[:, :4], ke), _same_conv(v[:, 4:], kp)], axis=1
+        )
+
+    def xla_same_packed(v):
+        vp = pack_batch(v, PACK)
+        out = jnp.concatenate(
+            [_same_conv(vp[:, :4], keb), _same_conv(vp[:, 4:], kpb)], axis=1
+        )
+        return unpack_batch(out, PACK)
+
+    report("xla_same", xla_same, check=False)
+    report("xla_same_p", xla_same_packed, check=False)
+
+    g = jnp.asarray(rng.normal(size=(B, 6, N, N, C)), dtype=dt)
+
+    def vjp_of(fn):
+        def run(v):
+            _, pull = jax.vjp(fn, v)
+            return pull(g)[0]
+        return run
+
+    report("vjp_same", vjp_of(xla_same), check=False)
+    report("vjp_same_p", vjp_of(xla_same_packed), check=False)
+
+    def vjp_w(fn_k):
+        def run(v):
+            _, pull = jax.vjp(lambda kk: fn_k(v, kk), ke)
+            return pull(g)[0]
+        return run
+
+    def same_k(v, kk):
+        return jnp.concatenate(
+            [_same_conv(v[:, :4], kk), _same_conv(v[:, 4:], kk)], axis=1
+        )
+
+    def same_k_packed(v, kk):
+        vp = pack_batch(v, PACK)
+        eye = jnp.eye(PACK, dtype=kk.dtype)
+        kb = jnp.einsum("ij,hwcd->hwicjd", eye, kk).reshape(
+            3, 3, PACK * C, PACK * C
+        )
+        out = jnp.concatenate(
+            [_same_conv(vp[:, :4], kb), _same_conv(vp[:, 4:], kb)], axis=1
+        )
+        return unpack_batch(out, PACK)
+
+    report("dw_same", vjp_w(same_k), check=False)
+    report("dw_same_p", vjp_w(same_k_packed), check=False)
+
+    # --- dx kernel: misaligned (n+2, n+2) output vs aligned interior+ring --
+    from dlwp_cs_tpu.ops.pallas_conv import _dx_via_kernel
+
+    g = jnp.asarray(rng.normal(size=(B, 6, N, N, C)), dtype=dt)
+
+    def dx_current_g(v):
+        return _dx_via_kernel(v.shape, v.dtype, ke, kp, v, False)
+
+    report("dx_cur", dx_current_g, check=False)
+
+    def _dx_aligned_kernel(dout_ref, kTeq_ref, kTpo_ref, din_ref, dring_ref,
+                           dpad):
+        n = din_ref.shape[2]
+        cin = din_ref.shape[-1]
+        f = pl.program_id(1)
+        is_eq = f < 4
+        dpad[:, :, :] = jnp.zeros(dpad.shape, dpad.dtype)
+        dpad[2 : n + 2, 2 : n + 2, :] = dout_ref[0, 0]
+        acc = jnp.zeros((n + 2, n + 2, cin), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tile = dpad[2 - dy : n + 4 - dy, 2 - dx : n + 4 - dx, :]
+                k = jnp.where(is_eq, kTeq_ref[dy, dx], kTpo_ref[dy, dx])
+                acc += jax.lax.dot_general(
+                    tile, k,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        din_ref[0, 0] = acc[1 : n + 1, 1 : n + 1].astype(din_ref.dtype)
+        ring = jnp.stack(
+            [acc[0], acc[n + 1], acc[:, 0], acc[:, n + 1]], axis=0
+        )
+        dring_ref[0, 0] = ring.astype(dring_ref.dtype)
+
+    def dx_aligned(v):
+        b, _, n, _, c = v.shape
+        kT_eq = ke.swapaxes(2, 3)
+        kT_po = kp.swapaxes(2, 3)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        din, dring = pl.pallas_call(
+            _dx_aligned_kernel,
+            grid=(b, 6),
+            in_specs=[
+                pl.BlockSpec((1, 1, n, n, c), lambda i, f: (i, f, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full, full,
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, n, n, c), lambda i, f: (i, f, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 4, n + 2, c), lambda i, f: (i, f, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, 6, n, n, c), v.dtype),
+                jax.ShapeDtypeStruct((b, 6, 4, n + 2, c), v.dtype),
+            ),
+            scratch_shapes=[pltpu.VMEM((n + 4, n + 4, c), v.dtype)],
+        )(v, kT_eq, kT_po)
+        return din + jnp.mean(dring) * 0
+
+    report("dx_align", dx_aligned, check=False)
+
+    # --- decoder-shape conv (cin=96, cout=32): cap-256 packing ------------
+    C2 = 96
+    xd = jnp.asarray(rng.normal(size=(B, 6, N, N, C2)), dtype=dt)
+    ke2 = jnp.asarray(rng.normal(size=(3, 3, C2, C)) * 0.1, dtype=dt)
+    be2 = jnp.zeros((1, C), dt)
+
+    def dec_base(v):
+        return call_kernel(pc._kernel, v, ext_strips(v), ke2, ke2, be2, be2, C)
+
+    def dec_packed(v):
+        vp = pack_batch(v, 2)
+        kb = block_diag_kernel(ke2, 2)
+        bb = jnp.zeros((1, 2 * C), dt)
+        out = call_kernel(pc._kernel, vp, ext_strips(vp), kb, kb, bb, bb, 2 * C)
+        return unpack_batch(out, 2)
+
+    try:
+        r0 = np.asarray(dec_base(xd), np.float32)
+        r1 = np.asarray(dec_packed(xd), np.float32)
+        print(f"dec maxerr={float(np.max(np.abs(r1 - r0))):.3e}", flush=True)
+        t0 = time_chain(dec_base, xd, t_over)
+        t1 = time_chain(dec_packed, xd, t_over)
+        fl = 2 * B * 6 * N * N * 9 * C2 * C
+        print(f"dec_base   {t0 * 1e6:8.1f} us  {fl / t0 / 1e12:5.1f} TF/s", flush=True)
+        print(f"dec_pack2  {t1 * 1e6:8.1f} us  {fl / t1 / 1e12:5.1f} TF/s", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"dec FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+
     # --- lane-offset store bisect (K-pack feasibility) --------------------
     def _store_kernel(x_ref, o_ref, xrow):
         n = x_ref.shape[2]
