@@ -213,13 +213,12 @@ def _ext_transpose(g):
     n = np2 - 2
     idx, w = _transpose_tables(n)
     flat = g.reshape(b, 6 * 4 * (n + 2), c)
-    # _FAN_IN weighted gathers over the tiny ext tensor -> per-view vectors
-    inc = jnp.zeros((b, 6, 4, n, c), g.dtype)
-    for k in range(_FAN_IN):
-        gk = jnp.take(flat, jnp.asarray(idx[..., k].reshape(-1)), axis=1)
-        gk = gk.reshape(b, 6, 4, n, c)
-        wk = jnp.asarray(w[..., k]).astype(g.dtype)[None, :, :, :, None]
-        inc = inc + wk * gk
+    # ONE gather covering all _FAN_IN incoming positions (six separate
+    # gathers were ~6x the per-op dispatch cost), then a weighted reduce.
+    gk = jnp.take(flat, jnp.asarray(idx.reshape(-1)), axis=1)
+    gk = gk.reshape(b, 6, 4, n, _FAN_IN, c)
+    wk = jnp.asarray(w).astype(g.dtype)[None, :, :, :, :, None]
+    inc = jnp.sum(gk * wk, axis=4)
     dx = jnp.zeros((b, 6, n, n, c), g.dtype)
     return ring_add(dx, inc[:, :, EDGE_S], inc[:, :, EDGE_N],
                     inc[:, :, EDGE_W], inc[:, :, EDGE_E])
