@@ -20,21 +20,42 @@ Division of labor with :mod:`dlwp_cs_tpu.ops.halo`:
   sublane-indexed column stores for 16-bit types — hardware-bisected in
   tools/mosaic_bisect*); the W/E ghost columns enter as two in-kernel
   boundary-column correction dots instead;
+* small channel counts run BATCH->LANE PACKED
+  (:mod:`dlwp_cs_tpu.ops.packing`): p batch items move into the lane dim
+  and the tap weights become block-diagonal — the exact same linear map at
+  ~p^2 better MXU fill (a 32x32 tap fills ~6% of the 128x128 array;
+  measured 2.1x per conv at n=48/c=32).  The ext strips are computed on
+  the UNPACKED input and packed after, so XLA CSE shares the gather with
+  the training backward's recompute (packing first cost the gather twice:
+  +1.7 ms/step, bisected);
 * the backward DEFAULTS to the exact VJP of the identical linear+bias map
   via the scatter-free XLA ring-fix composition (``jax.vjp`` of
   :func:`_xla_reference`; the unused primal is dead-code-eliminated) —
-  measured FASTER than the all-Pallas fused backward on v5e (full-model
-  train step 14.0 ms vs 24.7 ms at C48/b=16/bf16: three extra pallas_call
-  round-trips through HBM lose to XLA's fused transpose matmuls);
-* a fully-fused Pallas backward remains selectable
-  (``fused_backward=True``): one kernel emits the PADDED-input cotangent
-  ``dxp`` (9 shifted MXU contractions of a zero-extended dout tile with
-  the channel-transposed kernels), a second emits per-(batch, face)
-  weight/bias gradient blocks that XLA reduces; ``dxp``'s interior plus
-  its boundary ring fold through the scatter-free ``ext_strips``
-  transpose (``halo._ext_transpose``) to finish ``dx``.  dout's W/E
-  boundary columns ride in as an XLA-sliced side input (same 16-bit
-  column-indexing limitation as above).
+  measured FASTER than every Pallas-kernel backward tried on v5e;
+* selectable alternatives (:func:`use_pallas_backward`, all
+  grad-equivalence-tested; timings in PERF.md):
+
+  - ``"packdw"``: dx as in ``"xla"``, but the dominant SAME-conv
+    filter-gradient contraction runs in the packed layout — the
+    contraction alone is 405 -> 230 us at n=48/c=32, yet the full-model
+    step measured 15.7 vs 13.3 ms: decomposing the VJP into separate
+    dx / base-dw / ring-dw pullbacks forfeits the CSE sharing of primal
+    recomputes that the single composition ``jax.vjp`` gets.  DEAD as a
+    default; kept as the measured record of why;
+  - ``"hybrid"``: Pallas dx kernel + XLA weight grads — measured DEAD
+    (the dx kernel is intrinsically ~1.3 TF/s regardless of output
+    alignment; 23.9 vs 13.7 ms full-model step);
+  - ``"fused"`` (``fused_backward=True``): all-Pallas two-kernel
+    backward — measured DEAD (24.7 ms/step; the (B, 6, 3, 3, Cin, Cout)
+    weight-grad blocks' HBM round-trip loses to XLA's fused transpose
+    matmuls).  One kernel emits the PADDED-input cotangent ``dxp``
+    (9 shifted MXU contractions of a zero-extended dout tile with the
+    channel-transposed kernels), a second emits per-(batch, face)
+    weight/bias gradient blocks that XLA reduces; ``dxp``'s interior plus
+    its boundary ring fold through the scatter-free ``ext_strips``
+    transpose (``halo._ext_transpose``) to finish ``dx``; dout's W/E
+    boundary columns ride in as an XLA-sliced side input (same 16-bit
+    column-indexing limitation as above).
 
 Scope: kernel_size (3,3), stride 1, dilation 1 — the hot configuration of
 every DLWP-CS conv layer; other configurations take the XLA path (dispatch
@@ -78,7 +99,7 @@ _BWD_MODE: contextvars.ContextVar = contextvars.ContextVar(
 def use_pallas_backward(mode: str):
     """Within this context, Pallas-conv dispatch uses backward ``mode``
     ("xla" | "hybrid" | "fused") — perf ablation / selection knob."""
-    if mode not in ("xla", "hybrid", "fused"):
+    if mode not in ("xla", "packdw", "hybrid", "fused"):
         raise ValueError(f"unknown pallas backward mode {mode!r}")
     token = _BWD_MODE.set(mode)
     try:
@@ -565,6 +586,50 @@ def _bwd(interpret, fused_backward, res, g):
         # VJP; the unused primal is dead-code-eliminated by XLA).
         _, pullback = jax.vjp(_xla_reference, x, k_eq, k_pole, b_eq, b_pole)
         return pullback(g)
+    if mode == "packdw":
+        # Decomposed backward: dx through the full composition VJP as in
+        # "xla" (the fix-transpose machinery has no cheaper form), but the
+        # DOMINANT weight-gradient contraction — the SAME-conv filter grad,
+        # a (pixels, Cin)^T (pixels, Cout) product that fills 32/128 of the
+        # MXU at the U-Net's outer levels — runs in the batch->lane packed
+        # layout (405 -> 230 us at n=48/c=32, tools/kernel_variants.py).
+        # pack(x) is the same op the packed forward ran, so XLA CSE shares
+        # it; pack(g) is the one extra relayout this mode pays.
+        from dlwp_cs_tpu.ops.ringfix import _same_conv, ring_term
+
+        _, pull_x = jax.vjp(
+            lambda v: _xla_reference(v, k_eq, k_pole, b_eq, b_pole), x
+        )
+        (dx,) = pull_x(g)
+        b, _, n, _, cin = x.shape
+        cout = k_eq.shape[-1]
+        p = _pack_factor(b, n, cin, cout)
+
+        def base_w(ke, kp):
+            if p > 1:
+                xp = packing.pack_batch(x, p)
+                return jnp.concatenate(
+                    [
+                        _same_conv(xp[:, :4], packing.block_diag_taps(ke, p)),
+                        _same_conv(xp[:, 4:], packing.block_diag_taps(kp, p)),
+                    ],
+                    axis=1,
+                )
+            return jnp.concatenate(
+                [_same_conv(x[:, :4], ke), _same_conv(x[:, 4:], kp)], axis=1
+            )
+
+        gp = packing.pack_batch(g, p) if p > 1 else g
+        _, pull_bw = jax.vjp(base_w, k_eq, k_pole)
+        dke_b, dkp_b = pull_bw(gp.astype(x.dtype))
+        _, pull_rw = jax.vjp(
+            lambda ke, kp: ring_term(x, ke, kp), k_eq, k_pole
+        )
+        dke_r, dkp_r = pull_rw(g.astype(x.dtype))
+        g32 = g.astype(jnp.float32)
+        dbeq = jnp.sum(g32[:, :4], axis=(0, 1, 2, 3)).astype(b_eq.dtype)
+        dbpo = jnp.sum(g32[:, 4:], axis=(0, 1, 2, 3)).astype(b_pole.dtype)
+        return dx, dke_b + dke_r, dkp_b + dkp_r, dbeq, dbpo
     if mode == "hybrid":
         # dx via ONE Pallas kernel (the expensive composition half: the
         # XLA dx path re-runs the whole halo machinery in transpose);

@@ -36,7 +36,7 @@ from jax import lax
 from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
 from dlwp_cs_tpu.ops.halo import ext_strips
 
-__all__ = ["cs_conv3x3_ringfix"]
+__all__ = ["cs_conv3x3_ringfix", "ring_term"]
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
@@ -75,8 +75,26 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     base_eq = _same_conv(x[:, :4], k_eq)
     base_po = _same_conv(x[:, 4:], k_pole)
     out = jnp.concatenate([base_eq, base_po], axis=1)
+    out = out + ring_term(x, k_eq, k_pole)
 
-    # 2. corner-extended ghost strips: (B, 6, 4, n+2, C), positions 0 and
+    if bias_eq is not None or bias_pole is not None:
+        zeros = jnp.zeros(out.shape[-1], out.dtype)
+        b_eq = zeros if bias_eq is None else bias_eq
+        b_po = zeros if bias_pole is None else bias_pole
+        bias = jnp.stack([b_eq] * 4 + [b_po] * 2, axis=0)  # (6, Cout)
+        out = out + bias[None, :, None, None, :].astype(out.dtype)
+    return out
+
+
+def ring_term(x, k_eq, k_pole):
+    """The halo correction: everything of the CS conv except the per-face
+    zero-padded SAME convs and the bias.  Split out so a decomposed
+    backward can differentiate the SAME-conv part and this part separately
+    (``cs_conv3x3_ringfix == same_convs + ring_term + bias``, pinned by the
+    equivalence tests)."""
+    b, nf, n, n2, cin = x.shape
+
+    # corner-extended ghost strips: (B, 6, 4, n+2, C), positions 0 and
     # n+1 already the corner ghosts — one linear map, scatter-free VJP.
     ext = ext_strips(x)
 
@@ -140,8 +158,8 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     # elementwise ops — XLA fuses this with the conv output into one pass.
     row = lax.broadcasted_iota(jnp.int32, (n, n), 0)[None, None, :, :, None]
     col = lax.broadcasted_iota(jnp.int32, (n, n), 1)[None, None, :, :, None]
-    zero = jnp.zeros((), out.dtype)
-    ring = (
+    zero = jnp.zeros((), fixes.dtype)
+    return (
         jnp.where(row == 0, fix_s[:, :, None, :, :], zero)
         + jnp.where(row == n - 1, fix_n[:, :, None, :, :], zero)
         + jnp.where(col == 0, fix_w[:, :, :, None, :], zero)
@@ -153,12 +171,3 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
             (row == n - 1) & (col == n - 1), c_ne[:, :, None, None, :], zero
         )
     )
-    out = out + ring
-
-    if bias_eq is not None or bias_pole is not None:
-        zeros = jnp.zeros(out.shape[-1], out.dtype)
-        b_eq = zeros if bias_eq is None else bias_eq
-        b_po = zeros if bias_pole is None else bias_pole
-        bias = jnp.stack([b_eq] * 4 + [b_po] * 2, axis=0)  # (6, Cout)
-        out = out + bias[None, :, None, None, :].astype(out.dtype)
-    return out

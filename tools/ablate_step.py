@@ -70,6 +70,7 @@ def main() -> int:
 
     results = {}
     variants = [(b, "xla") for b in ("auto", "same", "pallas", "ringfix")]
+    variants += [("pallas", "packdw")]
     if "--all" in sys.argv:
         # measured-dead backward modes (PERF.md): compile-expensive, opt-in
         variants += [("pallas", "hybrid"), ("pallas", "fused")]
