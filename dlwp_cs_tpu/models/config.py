@@ -124,6 +124,11 @@ class TrainConfig:
     lr_decay_steps: int = 100_000
     optimizer: str = "adam"
     weight_decay: float = 0.0
+    # Accumulate gradients over k micro-batches before each optimizer
+    # update (optax.MultiSteps): the effective batch is k * batch_size
+    # with unchanged peak memory.  The reference has no analog (its only
+    # batch lever was the generator batch_size).
+    grad_accum_steps: int = 1
     max_epochs: int = 200
     min_epochs: int = 0
     early_stopping_patience: int = 50

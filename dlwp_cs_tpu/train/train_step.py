@@ -57,6 +57,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.grad_clip_norm is not None:
         opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    accum = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+    if accum > 1:
+        # k micro-batches per optimizer update; params stay fixed (updates
+        # are zero) until the k-th step, so the effective batch is
+        # k * batch_size at unchanged peak memory.
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
     return opt
 
 
