@@ -16,6 +16,14 @@ training backward, which runs through the ring-fix composition VJP.
 
 Reference parity note: the reference (DLWP/custom.py CubeSphereConv2D)
 has no analog; this is TPU-hardware shaping.
+
+Caveat — non-finite inputs couple pack groups: the cross-item lanes are
+multiplied by ZERO weights, and ``0 * inf == nan``, so an inf/NaN value in
+one sample poisons the outputs of the other ``p - 1`` samples in its pack
+group (the unpacked path keeps samples independent).  The data pipeline
+imputes/normalizes NaNs before batching (``SeriesDataset``), so packed
+inputs are finite in every supported flow; feed pre-sanitized data if you
+call the packed conv directly.
 """
 
 from __future__ import annotations

@@ -87,19 +87,28 @@ __all__ = [
     "vmem_estimate_bytes",
 ]
 
-# Backward-mode selection for 'auto'/'pallas' dispatch (ops.conv reads this at
-# trace time).  Modes: "xla" (composition VJP, default), "hybrid" (Pallas dx
-# kernel + XLA weight grads), "fused" (all-Pallas two-kernel backward).
+# Backward-mode selection for 'auto'/'pallas' dispatch (ops.conv reads this
+# at trace time).  Modes: "xla" (composition VJP, default), "packdw",
+# "hybrid", "fused" — see the module docstring for what each is and why
+# only "xla" survived measurement.
 _BWD_MODE: contextvars.ContextVar = contextvars.ContextVar(
     "cs_conv3x3_pallas_bwd", default="xla"
 )
 
+_BWD_MODES = ("xla", "packdw", "hybrid", "fused")
+
 
 @contextlib.contextmanager
 def use_pallas_backward(mode: str):
-    """Within this context, Pallas-conv dispatch uses backward ``mode``
-    ("xla" | "hybrid" | "fused") — perf ablation / selection knob."""
-    if mode not in ("xla", "packdw", "hybrid", "fused"):
+    """Within this context, Pallas-conv dispatch TRACES with backward
+    ``mode`` ("xla" | "packdw" | "hybrid" | "fused" — module docstring).
+
+    Trace-time only: the mode is baked in when jit traces the function, so
+    wrap the call that TRIGGERS tracing.  A function already traced/cached
+    under a different mode keeps its original backward (perf-ablation
+    knob, not a runtime switch).
+    """
+    if mode not in _BWD_MODES:
         raise ValueError(f"unknown pallas backward mode {mode!r}")
     token = _BWD_MODE.set(mode)
     try:
@@ -184,17 +193,17 @@ def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
 
 def _kernel_npack(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref,
                   xpad, *, n):
-    """Lane-packed variant for small channel counts (kn2row formulation).
+    """Lane-packed (kn2row) variant — measured DEAD, kept as the record.
 
-    The base kernel's 9 taps run (n, n, Cin) x (Cin, Cout) contractions; at
-    the U-Net's outer levels (Cin = Cout = 32) that leaves the 128x128 MXU
-    ~94% idle (measured 5.4 TF/s at n=48/c=32 vs 71.9 at n=12/c=128 —
-    tools/conv_micro.py).  Here ALL 9 taps go through ONE contraction with
-    the tap-packed kernel matrix ``(Cin, 9*Cout)`` — the output lane dim is
-    9x wider, so MXU column utilization is full for Cout >= 15 — followed by
-    9 shifted lane-sliced adds (VPU, O(n^2 * 9 * Cout)).  The W/E ghost
-    boundary-column corrections are identical to the base kernel and reuse
-    lane slices of the packed matrix.
+    ALL 9 taps go through ONE contraction with the tap-packed kernel matrix
+    ``(Cin, 9*Cout)``, followed by 9 shifted lane-sliced adds.  On v5e the
+    sub-tile lane slices make Mosaic materialize padded copies of every
+    slice — 30-37 MB of scoped VMEM at n=48 (over the 16 MB budget) in both
+    whole-plane and per-dy formulations, and 2.4 ms/conv even with a raised
+    64 MB limit vs 0.8 for the base kernel (tools/kernel_variants.py).  The
+    production answer to small-channel MXU underfill is batch->lane
+    block-diagonal packing (ops.packing), which needs no lane slicing.
+    Exercised only by tools/kernel_variants.py; never dispatched.
     """
     cout = out_ref.shape[-1]
     f = pl.program_id(1)
@@ -290,21 +299,8 @@ def cs_conv3x3_pallas(x, k_eq, k_pole, b_eq, b_pole, interpret=False,
     return _forward(x, k_eq, k_pole, b_eq, b_pole, interpret)
 
 
-def _npack_eligible(n: int, cin: int, cout: int) -> bool:
-    """Lane-packed (kn2row) kernel dispatch — currently DISABLED.
-
-    Measured on v5e (tools/conv_micro.py): the base kernel's (Cin, Cout)
-    contraction underfills the MXU at the U-Net's outer levels (5.4 TF/s at
-    n=48/c=32 vs 71.9 at n=12/c=128), but consuming the tap-packed product
-    via sub-tile lane slices makes Mosaic materialize padded copies of every
-    slice — 30-37 MB of scoped VMEM at n=48, over the 16 MB budget, in both
-    whole-plane and per-dy formulations.  The kernel is kept for interpret-
-    mode tests; small-channel MXU packing continues in tools/kernel_variants
-    (batch->lane block-diagonal packing needs no lane slicing)."""
-    return False
-
-
-def _pack_factor(b: int, n: int, cin: int, cout: int) -> int:
+def _pack_factor(b: int, n: int, cin: int, cout: int,
+                 dtype_bytes: int = 2) -> int:
     """Batch->lane packing factor for small-channel convs.
 
     A (n, n, 32) x (32, 32) tap leaves the 128x128 MXU ~94% idle (measured
@@ -317,7 +313,9 @@ def _pack_factor(b: int, n: int, cin: int, cout: int) -> int:
     linear map, so the VJP (XLA composition) is untouched.
     """
     p = packing.pack_factor(b, cin, cout)
-    while p > 1 and vmem_estimate_bytes(n, p * cin, p * cout, 2) >= 10 * 2**20:
+    while p > 1 and vmem_estimate_bytes(
+        n, p * cin, p * cout, dtype_bytes
+    ) >= 10 * 2**20:
         p //= 2
     return p
 
@@ -338,7 +336,7 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
     # the backward (~1.7 ms/step).  The strips are channel-agnostic, so
     # packing the small strips tensor afterwards is equivalent.
     ext = ext_strips(x)  # (B, 6, 4, n+2, C) — corner ghosts included
-    p = _pack_factor(b, n, cin, cout)
+    p = _pack_factor(b, n, cin, cout, jnp.dtype(x.dtype).itemsize)
     if p > 1:
         x = packing.pack_batch(x, p)
         ext = packing.pack_batch(ext, p)
@@ -580,6 +578,8 @@ def _fwd(x, k_eq, k_pole, b_eq, b_pole, interpret, fused_backward):
 def _bwd(interpret, fused_backward, res, g):
     x, k_eq, k_pole, b_eq, b_pole = res
     mode = {False: "xla", True: "fused"}.get(fused_backward, fused_backward)
+    if mode not in _BWD_MODES:
+        raise ValueError(f"unknown pallas backward mode {fused_backward!r}")
     if mode == "xla":
         # Exact VJP of the identical linear+bias map via the scatter-free
         # XLA ring-fix composition (ext_strips carries its transpose-gather
@@ -603,7 +603,7 @@ def _bwd(interpret, fused_backward, res, g):
         (dx,) = pull_x(g)
         b, _, n, _, cin = x.shape
         cout = k_eq.shape[-1]
-        p = _pack_factor(b, n, cin, cout)
+        p = _pack_factor(b, n, cin, cout, jnp.dtype(x.dtype).itemsize)
 
         def base_w(ke, kp):
             if p > 1:

@@ -11,8 +11,24 @@ from dlwp_cs_tpu.ops import cs_conv
 from dlwp_cs_tpu.ops.pallas_conv import (
     cs_conv3x3_pallas,
     pallas_supported,
+    use_pallas_backward,
     vmem_estimate_bytes,
 )
+
+
+def test_unknown_backward_mode_rejected():
+    with pytest.raises(ValueError, match="unknown pallas backward mode"):
+        with use_pallas_backward("bogus"):
+            pass
+    x = _rand((1, 6, 8, 8, 3))
+    k = _rand((3, 3, 3, 4)) * 0.2
+    b = _rand((4,))
+    with pytest.raises(ValueError, match="unknown pallas backward mode"):
+        jax.grad(
+            lambda v: jnp.sum(
+                cs_conv3x3_pallas(v, k, k, b, b, True, "pack_dw") ** 2
+            )
+        )(x)
 
 
 def _rand(shape, seed=0, dtype=np.float32):

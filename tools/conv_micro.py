@@ -105,9 +105,13 @@ def main() -> int:
         # dx-only and dw-only pullbacks (g fixed = x-shaped ones)
         from dlwp_cs_tpu.ops.pallas_conv import _dx_via_kernel
 
-        g = jnp.asarray(rng.normal(size=(b, 6, n, n, cout)), dtype=dt)
+        # NOTE: dx is linear in the cotangent and independent of the primal
+        # values, so the varying chain input v must BE the cotangent — a
+        # fixed g would be loop-invariant and XLA would hoist the whole conv
+        # out of the scan (cin == cout at every level here, so shapes work).
+        assert cin == cout
         rows["dx_pl"] = time_chain(
-            lambda v: _dx_via_kernel(v.shape, v.dtype, ke, kp, g, False),
+            lambda v: _dx_via_kernel(v.shape, v.dtype, ke, kp, v, False),
             x, t_over=t_over,
         )
 
@@ -116,7 +120,9 @@ def main() -> int:
                 lambda u: cs_conv3x3_ringfix(u, ke, kp, bias_eq=be, bias_pole=bp),
                 v,
             )
-            return pull(g)[0]
+            return pull(v)[0]
+
+        g = jnp.asarray(rng.normal(size=(b, 6, n, n, cout)), dtype=dt)
 
         def dw_xla(v):
             _, pull = jax.vjp(

@@ -96,30 +96,12 @@ def call_kernel(kernel_fn, x, ext, ke, kp, be, bp, cout, *, vmem_mb=None,
     )(x, ext, ke, kp, be, bp)
 
 
-def pack_batch(x, p):
-    """(B, 6, n, n, C) -> (B/p, 6, n, n, p*C) moving p batch items to lanes."""
-    b = x.shape[0]
-    y = x.reshape((b // p, p) + x.shape[1:])
-    y = jnp.moveaxis(y, 1, -2)  # (B/p, 6, n, n, p, C)
-    return y.reshape(y.shape[:-2] + (p * x.shape[-1],))
-
-
-def unpack_batch(y, p):
-    b, f, n, _, pc_ = y.shape
-    c = pc_ // p
-    y = y.reshape(b, f, n, n, p, c)
-    y = jnp.moveaxis(y, -2, 1)
-    return y.reshape(b * p, f, n, n, c)
-
-
-def block_diag_kernel(k, p):
-    """(3, 3, C, D) -> (3, 3, p*C, p*D) block-diagonal per tap."""
-    c, d = k.shape[2], k.shape[3]
-    out = np.zeros((3, 3, p * c, p * d), np.float32)
-    kn = np.asarray(k, np.float32)
-    for i in range(p):
-        out[:, :, i * c : (i + 1) * c, i * d : (i + 1) * d] = kn
-    return jnp.asarray(out, k.dtype)
+# the production layout contract — measure what production dispatches
+from dlwp_cs_tpu.ops.packing import (  # noqa: E402
+    block_diag_taps as block_diag_kernel,
+    pack_batch,
+    unpack_batch,
+)
 
 
 def main() -> int:
