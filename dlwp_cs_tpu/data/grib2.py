@@ -163,12 +163,30 @@ def _decode_grid(body: bytes) -> dict:
         raise ValueError(
             f"grid template 3.{template} unsupported (regular lat-lon only)"
         )
+    # Basic angle (octets 39-46): 0/missing means the default 10^-6 degree
+    # unit.  A nonzero basic angle rescales every coordinate — reject rather
+    # than decode with the wrong unit.
+    basic_angle = _u(body, 38, 4)
+    subdiv = _u(body, 42, 4)
+    if basic_angle not in (0, 0xFFFFFFFF) or subdiv not in (0, 0xFFFFFFFF):
+        raise ValueError(
+            "GRIB2 nonzero basic angle unsupported (non-10^-6-degree units)"
+        )
     ni = _u(body, 30, 4)  # number of points along a parallel (lons)
     nj = _u(body, 34, 4)  # along a meridian (lats)
     lat1 = _s(body, 46, 4) * 1e-6
     lon1 = _u(body, 50, 4) * 1e-6
     lat2 = _s(body, 55, 4) * 1e-6
     lon2 = _u(body, 59, 4) * 1e-6
+    # Scanning mode (octet 72): only the default row-major +i then -/+ j
+    # layouts are supported; anything else (j-consecutive, boustrophedon,
+    # negative-i) would silently garble values.reshape(nj, ni).
+    scan = body[71]
+    if scan & 0xBF != 0:  # any flag other than the j-direction bit (0x40)
+        raise ValueError(
+            f"GRIB2 scanning mode 0x{scan:02x} unsupported "
+            "(only standard row-major i-scans)"
+        )
     lats = np.deg2rad(np.linspace(lat1, lat2, nj))
     lon2u = lon2 if lon2 > lon1 else lon2 + 360.0
     lons = np.deg2rad(np.linspace(lon1, lon2u, ni))
@@ -179,9 +197,17 @@ def _decode_product(body: bytes) -> dict:
     template = _u(body, 7, 2)
     if template not in (0, 8):  # instant / statistically processed
         raise ValueError(f"product template 4.{template} unsupported")
+    # First fixed surface: scale factor is SIGNED sign-magnitude (like the
+    # section-5 E/D factors); 255 / all-ones means missing -> NaN, not a
+    # plausible-looking 4294967295.0.
     scale = body[23]
     val = _u(body, 24, 4)
-    surface_value = val * (10.0 ** -scale) if scale != 255 and val != 0xFFFFFFFF else float(val)
+    if scale == 255 or val == 0xFFFFFFFF:
+        surface_value = float("nan")
+    else:
+        if scale & 0x80:
+            scale = -(scale & 0x7F)
+        surface_value = val * (10.0 ** -scale)
     return {
         "category": body[9],
         "number": body[10],
@@ -258,6 +284,21 @@ def _decode_data(body: bytes, rep, grid, bitmap) -> np.ndarray:
 
 def _unpack_complex(data: bytes, rep, npacked: int) -> np.ndarray:
     ng = rep["ngroups"]
+    # Unpack the section's bits ONCE and slice per vector/group —
+    # re-unpacking the whole buffer per group made decode O(NG * bytes)
+    # (minutes for a real CFS field with thousands of groups).
+    allbits = np.unpackbits(np.frombuffer(data, np.uint8))
+
+    def take(bit_offset: int, nbits: int, count: int) -> np.ndarray:
+        if nbits == 0:
+            return np.zeros(count, np.int64)
+        lo, hi = bit_offset, bit_offset + nbits * count
+        if hi > allbits.size:
+            raise ValueError("GRIB2 data section truncated")
+        chunk = allbits[lo:hi].reshape(count, nbits).astype(np.int64)
+        weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+        return chunk @ weights
+
     cursor = 0
     extras = []
     minsd = 0
@@ -269,14 +310,14 @@ def _unpack_complex(data: bytes, rep, npacked: int) -> np.ndarray:
             cursor += 8 * w
         minsd = _s(data, cursor // 8, w)
         cursor += 8 * w
-    refs = _bits(data, cursor, rep["nbits"], ng)
+    refs = take(cursor, rep["nbits"], ng)
     cursor += rep["nbits"] * ng
     cursor = (cursor + 7) // 8 * 8  # octet-align after each vector
-    widths = rep["group_width_ref"] + _bits(data, cursor, rep["group_width_bits"], ng)
+    widths = rep["group_width_ref"] + take(cursor, rep["group_width_bits"], ng)
     cursor += rep["group_width_bits"] * ng
     cursor = (cursor + 7) // 8 * 8
-    lens = rep["group_len_ref"] + rep["group_len_inc"] * _bits(
-        data, cursor, rep["group_len_bits"], ng
+    lens = rep["group_len_ref"] + rep["group_len_inc"] * take(
+        cursor, rep["group_len_bits"], ng
     )
     cursor += rep["group_len_bits"] * ng
     cursor = (cursor + 7) // 8 * 8
@@ -292,7 +333,7 @@ def _unpack_complex(data: bytes, rep, npacked: int) -> np.ndarray:
     pos = 0
     for g in range(ng):
         ln, wd = int(lens[g]), int(widths[g])
-        vals = _bits(data, cursor, wd, ln) if wd else np.zeros(ln, np.int64)
+        vals = take(cursor, wd, ln) if wd else np.zeros(ln, np.int64)
         out[pos : pos + ln] = refs[g] + vals
         cursor += wd * ln
         pos += ln
@@ -300,11 +341,24 @@ def _unpack_complex(data: bytes, rep, npacked: int) -> np.ndarray:
         out = out + minsd
         order = rep["diff_order"]
         # the first `order` values are stored verbatim in the extras
-        out[:order] = extras
         if order == 2:
-            # undo second-order differencing: x[i] = d[i] + 2x[i-1] - x[i-2]
-            for i in range(2, npacked):
-                out[i] = out[i] + 2 * out[i - 1] - out[i - 2]
+            # Undo x[i] = d[i] + 2 x[i-1] - x[i-2] in closed form: the first
+            # differences f[i] = x[i] - x[i-1] satisfy f[i] = f[i-1] + d[i],
+            # so two cumsum passes replace the per-point Python loop.
+            x0 = int(extras[0])
+            if npacked == 1:
+                return np.array([x0], np.int64)
+            x1 = int(extras[1])
+            f = np.empty(npacked - 1, np.int64)
+            f[0] = x1 - x0
+            if npacked > 2:
+                f[1:] = out[2:]
+            f = np.cumsum(f)
+            x = np.empty(npacked, np.int64)
+            x[0] = x0
+            x[1:] = x0 + np.cumsum(f)
+            out = x
         else:
+            out[:order] = extras
             out = np.cumsum(out)
     return out

@@ -146,18 +146,13 @@ def cs_conv(
         # cross-face halo — numerically WRONG at face boundaries; exists to
         # measure the halo machinery's cost (tools/ablate_step.py).  Non-3x3
         # shapes (e.g. the 1x1 head) fall through to the generic path.
-        from dlwp_cs_tpu.ops.ringfix import _same_conv
+        from dlwp_cs_tpu.ops.ringfix import _same_conv, add_group_bias
 
         out = jnp.concatenate(
             [_same_conv(x[:, :4], kernel_eq), _same_conv(x[:, 4:], kernel_pole)],
             axis=1,
         )
-        if bias_eq is not None:
-            zeros = jnp.zeros(out.shape[-1], out.dtype)
-            b_po = zeros if bias_pole is None else bias_pole
-            bias = jnp.stack([bias_eq] * 4 + [b_po] * 2, axis=0)
-            out = out + bias[None, :, None, None, :].astype(out.dtype)
-        return out
+        return add_group_bias(out, bias_eq, bias_pole)
     # backend == "ringfix" with a non-3x3 layer (e.g. the 1x1 output head)
     # falls through to the generic XLA path, like "pallas", so a whole model
     # can pin the ring-fix formulation for its 3x3 convs.

@@ -76,14 +76,21 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     base_po = _same_conv(x[:, 4:], k_pole)
     out = jnp.concatenate([base_eq, base_po], axis=1)
     out = out + ring_term(x, k_eq, k_pole)
+    return add_group_bias(out, bias_eq, bias_pole)
 
-    if bias_eq is not None or bias_pole is not None:
-        zeros = jnp.zeros(out.shape[-1], out.dtype)
-        b_eq = zeros if bias_eq is None else bias_eq
-        b_po = zeros if bias_pole is None else bias_pole
-        bias = jnp.stack([b_eq] * 4 + [b_po] * 2, axis=0)  # (6, Cout)
-        out = out + bias[None, :, None, None, :].astype(out.dtype)
-    return out
+
+def add_group_bias(out, bias_eq, bias_pole):
+    """Add per-weight-group biases to ``(B, 6, ..., Cout)`` conv output
+    (equatorial faces 0-3, polar faces 4-5); no-op when both are None.
+    Shared by every conv formulation (ring-fix, pad-path, sharded band)."""
+    if bias_eq is None and bias_pole is None:
+        return out
+    zeros = jnp.zeros(out.shape[-1], out.dtype)
+    b_eq = zeros if bias_eq is None else bias_eq
+    b_po = zeros if bias_pole is None else bias_pole
+    bias = jnp.stack([b_eq] * 4 + [b_po] * 2, axis=0)  # (6, Cout)
+    shape = (1, 6) + (1,) * (out.ndim - 3) + (out.shape[-1],)
+    return out + bias.reshape(shape).astype(out.dtype)
 
 
 def ring_term(x, k_eq, k_pole):

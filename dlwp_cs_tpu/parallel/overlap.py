@@ -33,7 +33,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from dlwp_cs_tpu.ops.ringfix import _same_conv
+from dlwp_cs_tpu.ops.ringfix import _same_conv, add_group_bias
 from dlwp_cs_tpu.parallel.halo import halo_pieces
 from dlwp_cs_tpu.parallel.mesh import SPATIAL_AXIS
 
@@ -156,14 +156,7 @@ def sharded_ringfix_conv3x3(
         )
     )
     out = out + ring
-
-    if bias_eq is not None or bias_pole is not None:
-        zeros = jnp.zeros(cout, out.dtype)
-        b_eq = zeros if bias_eq is None else bias_eq
-        b_po = zeros if bias_pole is None else bias_pole
-        bias = jnp.stack([b_eq] * 4 + [b_po] * 2, axis=0)  # (6, Cout)
-        out = out + bias[None, :, None, None, :].astype(out.dtype)
-    return out
+    return add_group_bias(out, bias_eq, bias_pole)
 
 
 def make_sharded_conv3x3(n_shards: int, axis_name: str = SPATIAL_AXIS):

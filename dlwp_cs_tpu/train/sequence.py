@@ -68,6 +68,13 @@ def make_sequence_loss(
         return (ins - insol_mean) / insol_std
 
     def loss(params, window, t0_days, targets):
+        if targets.shape[1] != sequence:
+            raise ValueError(
+                f"targets carry {targets.shape[1]} autoregressive steps but "
+                f"the loss was built with sequence={sequence} — the dataset "
+                "window setting and the config disagree"
+            )
+
         def scan_step(carry, target):
             window, t_days = carry
             inputs = pack_inputs(window, input_insolation(t_days), constants)

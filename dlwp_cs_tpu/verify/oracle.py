@@ -107,9 +107,14 @@ def compare_to_golden(path) -> OracleReport:
     )
     mapping = infer_relabeling(xyz_ours, xyz_ref)
     to_ours = invert_relabeling(mapping)
-    lonlat_err = float(
-        np.max(np.abs(apply_relabeling(xyz_ref, to_ours) - xyz_ours))
+    # true angular error between unit vectors: 2*arcsin(chord/2), not a
+    # rad2deg of a raw component difference (which saturates at ~114° for
+    # antipodal cells instead of 180°)
+    relabeled = apply_relabeling(xyz_ref, to_ours)
+    chord = float(
+        np.max(np.linalg.norm(relabeled - xyz_ours, axis=-1))
     )
+    lonlat_err = 2.0 * np.arcsin(min(1.0, chord / 2.0))
     report = OracleReport(relabeling=mapping, lonlat_err_deg=np.rad2deg(lonlat_err))
 
     import jax.numpy as jnp

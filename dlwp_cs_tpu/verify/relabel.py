@@ -86,11 +86,14 @@ class FaceRelabeling:
         return cls(perm=tuple(range(6)), orient=((0, False),) * 6)
 
 
-def apply_relabeling(x: np.ndarray, mapping: FaceRelabeling) -> np.ndarray:
+def apply_relabeling(
+    x: np.ndarray, mapping: FaceRelabeling, *, axis: int | None = None
+) -> np.ndarray:
     """Convert ``(..., 6, n, n)`` or ``(..., 6, n, n, C)`` from OUR convention
-    to THEIRS.  The face axis is inferred as the first axis of size 6 from the
-    left whose two successors are square."""
-    ax = _face_axis(x)
+    to THEIRS.  The face axis is inferred as the unique axis of size 6 whose
+    two successors are square; if the shape makes that ambiguous (e.g. a
+    batch of 6 samples on an n=6 grid), pass ``axis`` explicitly."""
+    ax = _face_axis(x) if axis is None else axis
     x = np.moveaxis(x, (ax, ax + 1, ax + 2), (0, 1, 2))
     out = np.empty_like(x)
     for f in range(6):
@@ -113,10 +116,19 @@ def invert_relabeling(mapping: FaceRelabeling) -> FaceRelabeling:
 
 
 def _face_axis(x: np.ndarray) -> int:
-    for ax in range(x.ndim - 2):
-        if x.shape[ax] == 6 and x.shape[ax + 1] == x.shape[ax + 2]:
-            return ax
-    raise ValueError(f"no (6, n, n) axis triple in shape {x.shape}")
+    cands = [
+        ax
+        for ax in range(x.ndim - 2)
+        if x.shape[ax] == 6 and x.shape[ax + 1] == x.shape[ax + 2]
+    ]
+    if not cands:
+        raise ValueError(f"no (6, n, n) axis triple in shape {x.shape}")
+    if len(cands) > 1:
+        raise ValueError(
+            f"shape {x.shape} has multiple (6, n, n) axis candidates "
+            f"{cands} — pass axis= explicitly to apply_relabeling"
+        )
+    return cands[0]
 
 
 def infer_relabeling(
@@ -140,27 +152,34 @@ def infer_relabeling(
     orient = [(0, False)] * 6
     taken = set()
     for f in range(6):
-        best = None  # (err, their_face, (k, flip))
-        second = None
-        for g in range(6):
-            for k, flip in D4_ELEMENTS:
-                err = float(np.mean((_apply_d4(a[f], k, flip) - b[g]) ** 2)) / scale
-                if best is None or err < best[0]:
-                    second = best
-                    best = (err, g, (k, flip))
-                elif second is None or err < second[0]:
-                    second = (err, g, (k, flip))
-        err, g, d4 = best
-        if err > rtol:
+        scored = sorted(
+            (
+                float(np.mean((_apply_d4(a[f], k, flip) - b[g]) ** 2)) / scale,
+                g,
+                (k, flip),
+            )
+            for g in range(6)
+            for k, flip in D4_ELEMENTS
+        )
+        # EVERY candidate below tolerance must be the single winner: a
+        # same-face tie (a D4-symmetric field) is just as unidentifiable as
+        # a cross-face one, and inspecting only the top two would let a
+        # same-face duplicate shadow a genuine third-ranked ambiguity.
+        hits = [c for c in scored if c[0] <= rtol]
+        if not hits:
+            err, g, d4 = scored[0]
             raise ValueError(
                 f"our face {f}: no counterpart within rtol (best err {err:.3g} "
                 f"vs their face {g} {d4})"
             )
-        if second is not None and second[0] < rtol and second[1] != g:
+        if len(hits) > 1:
+            (e0, g0, d0), (e1, g1, d1) = hits[0], hits[1]
             raise ValueError(
-                f"our face {f}: ambiguous match ({g} err {err:.3g} vs "
-                f"{second[1]} err {second[0]:.3g}) — use a less symmetric field"
+                f"our face {f}: ambiguous match (their face {g0} {d0} err "
+                f"{e0:.3g} vs {g1} {d1} err {e1:.3g}) — use a less "
+                "symmetric field"
             )
+        err, g, d4 = hits[0]
         if g in taken:
             raise ValueError(f"their face {g} matched twice — degenerate field")
         taken.add(g)

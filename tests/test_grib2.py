@@ -52,7 +52,9 @@ def encode_grib2(field, lats_deg, lons_deg, *, template=0, nbits=12,
         + struct.pack(">H", ref[0]) + bytes([ref[1], ref[2], ref[3], 0, 0, 0, 1])
     )
     # section 3: grid template 3.0 regular lat-lon
-    g = bytearray(58)
+    # full 72-octet template-3.0 section (5-byte header + 67 payload bytes):
+    # real files carry Di/Dj (octets 64-71) and the scanning mode (octet 72)
+    g = bytearray(67)
     g[0] = 0
     g[1:5] = struct.pack(">I", ny * nx)
     g[7:9] = struct.pack(">H", 0)  # template 3.0
@@ -63,6 +65,9 @@ def encode_grib2(field, lats_deg, lons_deg, *, template=0, nbits=12,
     g[49] = 48
     g[50:54] = _signed(int(round(lats_deg[-1] * 1e6)), 4)
     g[54:58] = struct.pack(">I", int(round(lons_deg[-1] * 1e6)) % (360 * 10**6))
+    # octet 72 (payload index 66): scanning mode — +i, j direction per the
+    # lat ordering, row-major
+    g[66] = 0x40 if lats_deg[-1] > lats_deg[0] else 0x00
     sec3 = bytes(g)
     # section 4: product template 4.0, category 3 number 5 (geopot. height),
     # surface type 100 (isobaric), value 50000 Pa
