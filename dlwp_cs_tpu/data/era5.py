@@ -91,13 +91,19 @@ def parse_cf_time_units(units: str) -> tuple[float, float]:
     ref = ref.replace("T", " ").removesuffix("Z").strip()
     # tolerate fractional-second and UTC-offset suffixes fromisoformat chokes on
     ref = re.sub(r"(\.\d+)?(\s*[+-]\d{2}:?\d{2})?$", "", ref).strip()
+    # CF allows non-zero-padded dates ('hours since 1900-1-1', 'days since
+    # 1-1-1 0:0:0' from older Unidata/CDO writers) that fromisoformat
+    # rejects — parse the components directly.
+    dm = re.match(
+        r"^(\d{1,4})-(\d{1,2})-(\d{1,2})"
+        r"(?:\s+(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?)?$",
+        ref,
+    )
+    if not dm:
+        raise ValueError(f"unparseable reference date in CF units {units!r}")
     try:
-        if " " in ref:
-            ref_dt = datetime.datetime.fromisoformat(ref)
-        else:
-            ref_dt = datetime.datetime.combine(
-                datetime.date.fromisoformat(ref), datetime.time()
-            )
+        parts = [int(g) if g is not None else 0 for g in dm.groups()]
+        ref_dt = datetime.datetime(*parts[:3], *parts[3:])
     except ValueError as e:
         raise ValueError(f"unparseable reference date in CF units {units!r}") from e
     offset = (ref_dt - datetime.datetime(2000, 1, 1)).total_seconds() / 86400.0
@@ -128,13 +134,13 @@ def read_netcdf_var(path, name: str) -> np.ndarray:
         if name not in f:
             raise KeyError(f"{name!r} not in {path}; has {sorted(f.keys())}")
         ds = f[name]
-        data = np.asarray(ds)
+        raw = np.asarray(ds)  # one disk read; reused for the fill-value mask
         scale = ds.attrs.get("scale_factor", None)
         offset = ds.attrs.get("add_offset", None)
         fill = ds.attrs.get("_FillValue", None)
-        data = data.astype(np.float64)
+        data = raw.astype(np.float64)
         if fill is not None:
-            data[np.asarray(ds) == fill] = np.nan
+            data[raw == fill] = np.nan
         if scale is not None:
             data = data * float(np.asarray(scale))
         if offset is not None:
@@ -331,6 +337,14 @@ def read_era5_file(path):
     if la[0] > la[-1]:  # ERA5 ships north->south; flip ascending
         la = la[::-1]
         data = data[:, ::-1]
+    # normalize longitudes to [0, 2pi) ascending (the Preprocessor's
+    # documented convention): a [-180, 180) CDS subset grid wraps under the
+    # mod, so re-sort and roll the data columns with it
+    lo = np.asarray(lo) % (2 * np.pi)
+    if np.any(np.diff(lo) < 0):
+        order = np.argsort(lo)
+        lo = lo[order]
+        data = data[..., order]
     return data, la, lo, tm
 
 

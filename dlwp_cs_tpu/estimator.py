@@ -144,8 +144,10 @@ class DLWPEstimator:
         )
         # Per-init valid times: each batch member gets insolation at its OWN
         # init time (a scalar here would silently phase-shift every member
-        # after the first by up to (B-1)*dt of diurnal forcing).
-        t0 = jnp.asarray(np.asarray(store.times)[init_indices], jnp.float32)
+        # after the first by up to (B-1)*dt of diurnal forcing).  Passed as
+        # float64 — predict reduces mod the insolation period BEFORE the f32
+        # cast, keeping ~10 s clock resolution for present-day epochs.
+        t0 = np.asarray(store.times, np.float64)[init_indices]
         return est.predict(jnp.asarray(windows), t0, steps=steps)
 
     def denormalize(self, fields):

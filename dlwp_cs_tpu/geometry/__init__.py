@@ -15,7 +15,12 @@ from dlwp_cs_tpu.geometry.cubed_sphere import (
     xyz_to_face,
     xyz_to_face_angles,
 )
-from dlwp_cs_tpu.geometry.insolation import J2000_EPOCH, SOLAR_CONSTANT, insolation
+from dlwp_cs_tpu.geometry.insolation import (
+    INSOLATION_PERIOD_DAYS,
+    J2000_EPOCH,
+    SOLAR_CONSTANT,
+    insolation,
+)
 
 __all__ = [
     "EDGE_E",
@@ -34,4 +39,5 @@ __all__ = [
     "J2000_EPOCH",
     "SOLAR_CONSTANT",
     "insolation",
+    "INSOLATION_PERIOD_DAYS",
 ]

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["insolation", "J2000_EPOCH", "SOLAR_CONSTANT"]
+__all__ = [
+    "insolation",
+    "INSOLATION_PERIOD_DAYS",
+    "J2000_EPOCH",
+    "SOLAR_CONSTANT",
+]
 
 # Mean total solar irradiance, W/m^2.
 SOLAR_CONSTANT = 1361.0
@@ -29,6 +34,14 @@ J2000_EPOCH = "2000-01-01T00:00:00Z"
 
 # 2000-01-01 is day-of-year 1; offset used to convert epoch days -> day of year.
 _DAYS_PER_YEAR = 365.25
+
+# The formula is exactly periodic in 1461 days (= 4 * 365.25, the least
+# common period of its mod-365.25 and mod-1 reductions).  Reduce epoch-day
+# arguments mod this ON THE HOST IN FLOAT64 before feeding jitted code:
+# present-day epoch days (~9700) carry an ~84 s float32 ULP that quantizes
+# the hour angle, while reduced values (< 1461) resolve ~10 s — and in-graph
+# clock accumulation on reduced values stays at that resolution.
+INSOLATION_PERIOD_DAYS = 1461.0
 
 
 def _spencer_terms(day_angle, xp):

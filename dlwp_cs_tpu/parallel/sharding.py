@@ -92,6 +92,21 @@ def make_dp_shardmap_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
     Numerically equivalent to the GSPMD step (equal-size shards; pinned by
     tests); use it whenever the model is *not* spatially decomposed.
     """
+    local_step = _dp_local_step(apply_fn, optimizer, loss_fn)
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def _dp_local_step(apply_fn, optimizer, loss_fn):
+    """Per-shard train step for the shard_map DP variants: single-device
+    trace inside a shard_local_region (keeps the fused Pallas conv),
+    gradients/loss pmean-ed over the data axis."""
     from dlwp_cs_tpu.ops.conv import shard_local_region
 
     def local_step(state: TrainState, inputs, targets):
@@ -109,14 +124,50 @@ def make_dp_shardmap_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
             "grad_norm": optax.global_norm(grads),
         }
 
+    return local_step
+
+
+def make_dp_shardmap_scanned_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):
+    """shard_map analog of :func:`make_dp_scanned_train_step`: k optimizer
+    steps per dispatch with the scan INSIDE the shard_map body, so the
+    per-shard trace stays single-device code and the ``auto`` conv dispatch
+    keeps the fused Pallas kernel (the reason one chooses
+    ``dp_impl='shard_map'``; the GSPMD scanned step forces ring-fix)."""
+    local_step = _dp_local_step(apply_fn, optimizer, loss_fn)
+
+    def local_step_k(state: TrainState, inputs_k, targets_k):
+        return lax.scan(
+            lambda st, b: local_step(st, b[0], b[1]), state, (inputs_k, targets_k)
+        )
+
     fn = jax.shard_map(
-        local_step,
+        local_step_k,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_dp_shardmap_eval_step(apply_fn, loss_fn, mesh: Mesh):
+    """shard_map analog of :func:`make_dp_eval_step` (same Pallas-keeping
+    rationale as the train variants)."""
+    from dlwp_cs_tpu.ops.conv import shard_local_region
+
+    def local_eval(params, inputs, targets):
+        with shard_local_region():
+            loss = loss_fn(apply_fn(params, inputs), targets)
+        return {"loss": lax.pmean(loss, DATA_AXIS)}
+
+    fn = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_dp_scanned_train_step(apply_fn, optimizer, loss_fn, mesh: Mesh):

@@ -15,6 +15,7 @@ integrals/column sums are conservative to machine precision.
 
 from __future__ import annotations
 
+import os
 import struct
 import subprocess
 from pathlib import Path
@@ -124,15 +125,34 @@ def conservative_weights(
     tag = method if method != "sampled" else f"s{samples}"
     name = f"csremap_{mode}_{n_lat}x{n_lon}_c{n_cs}_{tag}_{int(lat_centered)}.bin"
     path = cache_dir / name
+
+    def generate():
+        # Atomic publication: generate under a unique tmp name, then rename.
+        # The C++ tool writes the output path directly, so a crash/preempt
+        # mid-generation (or two concurrent processes) would otherwise leave
+        # a truncated file that poisons the cache forever.
+        tmp = path.with_name(f".{name}.tmp{os.getpid()}")
+        try:
+            run_csremap(
+                mode,
+                n_lat=n_lat,
+                n_lon=n_lon,
+                n_cs=n_cs,
+                out_path=tmp,
+                samples=samples,
+                lat_centered=lat_centered,
+                method=method,
+            )
+            os.replace(tmp, path)
+        finally:
+            tmp.unlink(missing_ok=True)
+
     if not path.exists():
-        run_csremap(
-            mode,
-            n_lat=n_lat,
-            n_lon=n_lon,
-            n_cs=n_cs,
-            out_path=path,
-            samples=samples,
-            lat_centered=lat_centered,
-            method=method,
-        )
-    return load_csremap(path, dtype=dtype)
+        generate()
+    try:
+        return load_csremap(path, dtype=dtype)
+    except ValueError:
+        # pre-fix truncated cache entry: regenerate once
+        path.unlink(missing_ok=True)
+        generate()
+        return load_csremap(path, dtype=dtype)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dlwp_cs_tpu.data.channels import pack_inputs, unfold_time
-from dlwp_cs_tpu.geometry.insolation import insolation
+from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS, insolation
 from dlwp_cs_tpu.models.config import DataConfig
 
 __all__ = ["Forecast", "TimeSeriesEstimator", "make_rollout_fn"]
@@ -125,6 +125,12 @@ def make_rollout_fn(
                 "t0_days must be a scalar or a (B,) vector matching the "
                 f"window batch {window.shape[0]}, got shape {t0_days.shape}"
             )
+        # The scan clock exists only to drive insolation, which is periodic
+        # in 1461 days: reduce so the float32 clock accumulates at ~10 s
+        # resolution instead of the ~84 s ULP of raw present-day epoch days
+        # (callers that pre-reduce in float64 — predict/forecast do — keep
+        # full precision through the cast).
+        t0_days = jnp.mod(t0_days, INSOLATION_PERIOD_DAYS)
 
         def scan_step(carry, _):
             window, t_days = carry
@@ -165,20 +171,45 @@ class TimeSeriesEstimator:
     insol_mean: float = 0.0
     insol_std: float = 1.0
 
-    def predict(self, window, t0_days, *, steps: int, jit: bool = True) -> Forecast:
-        fn = make_rollout_fn(
-            self.apply_fn,
-            self.data_cfg,
-            lat=self.lat,
-            lon=self.lon,
-            constants=self.constants,
-            insol_mean=self.insol_mean,
-            insol_std=self.insol_std,
-            steps=steps,
-        )
-        if jit:
-            fn = jax.jit(fn)
-        fc = fn(self.params, window, t0_days)
+    def predict(
+        self,
+        window,
+        t0_days,
+        *,
+        steps: int,
+        jit: bool = True,
+        unroll: int = 1,
+    ) -> Forecast:
+        # cache the jitted rollout per (steps, unroll, jit): a fresh
+        # closure + jax.jit per call would recompile the steps-long scan
+        # every predict (jit caches by function identity)
+        cache = self.__dict__.setdefault("_rollout_cache", {})
+        key = (steps, unroll, jit)
+        fn = cache.get(key)
+        if fn is None:
+            fn = make_rollout_fn(
+                self.apply_fn,
+                self.data_cfg,
+                lat=self.lat,
+                lon=self.lon,
+                constants=self.constants,
+                insol_mean=self.insol_mean,
+                insol_std=self.insol_std,
+                steps=steps,
+                unroll=unroll,
+            )
+            if jit:
+                fn = jax.jit(fn)
+            cache[key] = fn
+        # float64 host-side periodic reduction BEFORE the f32 cast inside
+        # the rollout (see make_rollout_fn); keep the original init times
+        # on the Forecast.
+        import numpy as np
+
+        t0_red = np.mod(
+            np.asarray(t0_days, np.float64), INSOLATION_PERIOD_DAYS
+        ).astype(np.float32)
+        fc = fn(self.params, window, t0_red if t0_red.ndim else float(t0_red))
         return fc._replace(
             init_times=t0_days, variables=tuple(self.data_cfg.variables)
         )

@@ -20,7 +20,7 @@ import optax
 from jax import lax
 
 from dlwp_cs_tpu.data.channels import pack_inputs, unfold_time
-from dlwp_cs_tpu.geometry.insolation import insolation
+from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS, insolation
 from dlwp_cs_tpu.models.config import DataConfig
 from dlwp_cs_tpu.train.train_step import TrainState
 
@@ -84,11 +84,14 @@ def make_sequence_loss(
             new_window = jnp.concatenate([window, out_window], axis=1)[:, -t_in:]
             return (new_window, t_days + t_out * dt_days), step_loss
 
-        # scan over the sequence axis of targets
-        targets_seq = jnp.moveaxis(targets, 1, 0)  # (seq, B, 6, n, n, T_out*C)
-        (_, _), losses = lax.scan(
-            scan_step, (window, jnp.asarray(t0_days, jnp.float32)), targets_seq
+        # scan over the sequence axis of targets; the clock drives only
+        # insolation, so reduce mod its period for f32 resolution (see
+        # rollout/estimator.py)
+        t0 = jnp.mod(
+            jnp.asarray(t0_days, jnp.float32), INSOLATION_PERIOD_DAYS
         )
+        targets_seq = jnp.moveaxis(targets, 1, 0)  # (seq, B, 6, n, n, T_out*C)
+        (_, _), losses = lax.scan(scan_step, (window, t0), targets_seq)
         return jnp.mean(losses)
 
     return loss

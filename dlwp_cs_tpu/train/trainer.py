@@ -132,18 +132,30 @@ class Trainer:
             self.train_step = maker(
                 model.apply, self.optimizer, self.loss_fn, mesh
             )
+        self.dp_impl = dp_impl
         if mesh is None:
             self.eval_step = make_eval_step(model.apply, self.loss_fn)
         else:
-            from dlwp_cs_tpu.parallel.sharding import make_dp_eval_step
+            from dlwp_cs_tpu.parallel.sharding import (
+                make_dp_eval_step,
+                make_dp_shardmap_eval_step,
+            )
 
-            self.eval_step = make_dp_eval_step(model.apply, self.loss_fn, mesh)
+            eval_maker = (
+                make_dp_shardmap_eval_step
+                if dp_impl == "shard_map"
+                else make_dp_eval_step
+            )
+            self.eval_step = eval_maker(model.apply, self.loss_fn, mesh)
         # k-step fused dispatch (one jitted lax.scan per k batches) — built
         # on first use; see TrainConfig.fused_steps.
         self.fused_steps = max(1, int(getattr(cfg, "fused_steps", 1)))
         self._fused_step = None
         self.workdir = Path(workdir) if workdir is not None else None
+        if profile_steps is not None and self.workdir is None:
+            raise ValueError("profile_steps requires a workdir for the trace")
         self.profile_steps = profile_steps
+        self._epochs_done = 0  # set by restore_or_init on resume
         self.history = History()
         self._metrics_file = None
         if self.workdir is not None:
@@ -161,7 +173,11 @@ class Trainer:
 
         The fail-stop recovery story (SURVEY.md §5.3): a crashed run is
         restarted with the same command and picks up at its last periodic
-        checkpoint — restoration is idempotent by step.
+        checkpoint — restoration is idempotent by step.  The completed-epoch
+        count rides in the checkpoint extras, so the resumed ``fit`` trains
+        only the REMAINING epochs of ``max_epochs`` and logs/checkpoints
+        continue at the global epoch index (the early-stopping best/patience
+        window restarts — only the floor is honored across restarts).
         """
         template = self.init(sample_inputs, seed)
         if self.workdir is None:
@@ -171,7 +187,9 @@ class Trainer:
         ckpt_dir = self.workdir / "checkpoints"
         if latest_step(ckpt_dir) is None:
             return template
-        state, _ = restore_checkpoint(ckpt_dir, template)
+        state, extras = restore_checkpoint(ckpt_dir, template)
+        if extras:
+            self._epochs_done = int(extras.get("epochs_done", 0))
         return state
 
     def _get_fused_step(self):
@@ -185,9 +203,15 @@ class Trainer:
             else:
                 from dlwp_cs_tpu.parallel.sharding import (
                     make_dp_scanned_train_step,
+                    make_dp_shardmap_scanned_train_step,
                 )
 
-                self._fused_step = make_dp_scanned_train_step(
+                maker = (
+                    make_dp_shardmap_scanned_train_step
+                    if self.dp_impl == "shard_map"
+                    else make_dp_scanned_train_step
+                )
+                self._fused_step = maker(
                     self.model.apply, self.optimizer, self.loss_fn, self.mesh
                 )
         return self._fused_step
@@ -197,12 +221,21 @@ class Trainer:
             self._metrics_file.write(json.dumps(record) + "\n")
             self._metrics_file.flush()
 
-    def _checkpoint(self, state: TrainState, epoch: int) -> None:
+    def _checkpoint(self, state: TrainState, *, step: int, epochs_done: int) -> None:
+        # Keyed by the GLOBAL optimizer step (monotone across restarts):
+        # keying by the per-run epoch index made a resumed run overwrite its
+        # low-numbered checkpoints while latest_step kept selecting the
+        # stale pre-crash file.
         if self.workdir is None:
             return
         from dlwp_cs_tpu.utils.checkpoint import save_checkpoint
 
-        save_checkpoint(self.workdir / "checkpoints", state, step=epoch)
+        save_checkpoint(
+            self.workdir / "checkpoints",
+            state,
+            step=step,
+            extras={"epochs_done": epochs_done},
+        )
 
     # -- main loop ---------------------------------------------------------
     def fit(
@@ -226,7 +259,10 @@ class Trainer:
         # a hidden device sync (the step counter lives on-device).
         gstep = int(state.step)
         metrics_every = max(1, int(getattr(cfg, "metrics_every", 1)))
-        for epoch in range(epochs):
+        # Profiler window state lives ACROSS epochs: a capture whose stop
+        # step falls in a later epoch must still be stopped.
+        profiling = False
+        for epoch in range(self._epochs_done, epochs):
             t0 = time.perf_counter()
             losses: list[float] = []
             # Buffered metric fetch: the jitted step returns device arrays;
@@ -280,7 +316,6 @@ class Trainer:
 
             it = iter(_epoch_iter(train_data))
             fused = self.fused_steps
-            profiling = False
             while True:
                 # Separate input-wait from compute: data_wait_s exposes input-
                 # pipeline stalls (SURVEY.md §7 M4 — "measured via step-time
@@ -362,7 +397,7 @@ class Trainer:
                     msg += f" val_loss={val_loss:.6f}"
                 print(msg + f" ({dt:.1f}s)")
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
-                self._checkpoint(state, epoch)
+                self._checkpoint(state, step=gstep, epochs_done=epoch + 1)
             monitored = train_loss if val_loss is None else val_loss
             # Snapshot params to HOST memory before tracking as "best": the
             # jitted train step donates its state, so the device buffers of
@@ -380,6 +415,8 @@ class Trainer:
                 if verbose:
                     print(f"early stopping at epoch {epoch} (best={stopper.best:.6f})")
                 break
+        if profiling:  # stop-step beyond the last step: close the capture
+            jax.profiler.stop_trace()
         if cfg.restore_best_weights and stopper.best_params is not None:
             best = jax.tree.map(jnp.asarray, stopper.best_params)
             state = TrainState(best, state.opt_state, state.step)

@@ -77,3 +77,47 @@ def test_fused_dp_mesh():
         rtol=1e-5,
         atol=1e-6,
     )
+
+
+def test_fused_dp_shardmap_matches_gspmd():
+    """dp_impl='shard_map' must be honored on the FUSED dispatch path too
+    (it previously fell back to the GSPMD scanned step silently) and match
+    the GSPMD results."""
+    from dlwp_cs_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    dcfg = DataConfig(grid_n=N)
+    batches = _batches(dcfg, 4)
+    mesh = create_mesh(data=2, spatial=1)
+
+    def run(dp_impl):
+        model = CubeSphereUNet(
+            UNetConfig(output_channels=dcfg.output_channels, filters=(4, 8))
+        )
+        tr = Trainer(
+            model,
+            TrainConfig(
+                learning_rate=1e-3,
+                max_epochs=1,
+                checkpoint_every_epochs=100,
+                metrics_every=3,
+                fused_steps=2,
+            ),
+            mesh=mesh,
+            dp_impl=dp_impl,
+        )
+        state = tr.init(jnp.asarray(batches[0][0]))
+        state = tr.fit(state, lambda: iter(batches), verbose=False)
+        return state, tr
+
+    s1, t1 = run("gspmd")
+    s2, t2 = run("shard_map")
+    np.testing.assert_allclose(
+        [r["loss"] for r in t1.history.steps],
+        [r["loss"] for r in t2.history.steps],
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

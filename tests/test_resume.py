@@ -64,3 +64,31 @@ def test_restore_or_init_without_workdir(tmp_path):
     t = Trainer(model, cfg)  # no workdir
     state = t.restore_or_init(x)
     assert int(state.step) == 0
+
+
+def test_resume_trains_only_remaining_epochs(tmp_path):
+    """Checkpoints are keyed by GLOBAL step and carry the completed-epoch
+    count: a resumed run continues at the next epoch instead of retraining
+    max_epochs from scratch and overwriting low-numbered checkpoints (the
+    round-2 keying-by-per-run-epoch bug)."""
+    from dlwp_cs_tpu.utils import latest_step
+
+    model, cfg, x, y = _setup(tmp_path)  # max_epochs=2, checkpoint every epoch
+    t1 = Trainer(model, cfg, workdir=tmp_path)
+    s = t1.restore_or_init(x)
+    s = t1.fit(s, [(x, y)], verbose=False, epochs=1)  # "crash" after 1 of 2
+    steps_after_1 = int(s.step)
+    assert latest_step(tmp_path / "checkpoints") == steps_after_1
+
+    t2 = Trainer(model, cfg, workdir=tmp_path)
+    s2 = t2.restore_or_init(x)
+    assert t2._epochs_done == 1
+    s2 = t2.fit(s2, [(x, y)], verbose=False)  # completes ONLY epoch 1
+    assert int(s2.step) == 2 * steps_after_1
+    # keyed by global step: the run-1 checkpoint is still there, the newest
+    # checkpoint is the latest state, nothing was overwritten
+    assert latest_step(tmp_path / "checkpoints") == int(s2.step)
+
+    t3 = Trainer(model, cfg, workdir=tmp_path)
+    s3 = t3.fit(t3.restore_or_init(x), [(x, y)], verbose=False)
+    assert int(s3.step) == int(s2.step)  # nothing left to train
