@@ -49,9 +49,7 @@ class BarotropicModel:
         k = self.hyperdiffusion_order
         self._damp = (eig / lmax_eig) ** k / self.hyperdiffusion_time  # (L+1,)
         coslat = np.sqrt(1.0 - s.sinlat**2)
-        self._coriolis = 2.0 * _OMEGA * s.sinlat[:, None] * np.ones(
-            (1, s.nlon)
-        )
+        # planetary vorticity enters the tendency through the beta term only
         self._beta_y = 2.0 * _OMEGA * coslat[:, None] / s.radius
 
     def tendency(self, zeta_spec):
@@ -90,6 +88,14 @@ class BarotropicModel:
             z, _ = lax.scan(inner, z, None, length=save_every)
             return z, s.spec_to_grid(z)
 
+        if save_every < 1:
+            raise ValueError(f"save_every must be >= 1, got {save_every}")
+        if n_steps % save_every:
+            raise ValueError(
+                f"n_steps={n_steps} not divisible by save_every={save_every} "
+                f"— the trailing {n_steps % save_every} steps would be "
+                "silently dropped"
+            )
         n_saves = n_steps // save_every
         _, snaps = lax.scan(outer, z0, None, length=n_saves)
         return snaps

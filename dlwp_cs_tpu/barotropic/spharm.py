@@ -43,6 +43,15 @@ class SphericalHarmonics:
         self.nlat = nlat or (lmax + 1) * 3 // 2 + 1
         self.nlon = nlon or 2 * self.nlat
         self.radius = float(radius)
+        if self.nlon <= 2 * self.lmax:
+            # at nlon == 2*lmax the m = lmax mode lands in the rfft Nyquist
+            # bin, whose single-real-coefficient convention breaks the
+            # half-complex doubling this transform assumes — round-trips
+            # would silently corrupt every l at m = lmax
+            raise ValueError(
+                f"nlon={self.nlon} must exceed 2*lmax={2 * self.lmax} "
+                "(Nyquist aliasing of the highest zonal mode)"
+            )
         x, w = _gauss_legendre(self.nlat)
         # ascending latitude
         order = np.argsort(x)

@@ -202,8 +202,16 @@ class SeriesDataset:
                 tot += np.where(m, blk, 0.0).sum(axis=0)
                 cnt += m.sum(axis=0)
             with np.errstate(invalid="ignore", divide="ignore"):
-                fill = self._normalize(tot / np.maximum(cnt, 1))
-            fill = np.where(cnt > 0, fill, 0.0 if self.scale else np.nan)
+                cell_mean = tot / np.maximum(cnt, 1)
+                chan_mean = tot.sum(axis=(0, 1, 2)) / np.maximum(
+                    cnt.sum(axis=(0, 1, 2)), 1
+                )
+            # never-valid cells fall back to the CHANNEL-wide mean in raw
+            # units (with scaling on, that normalizes near zero anyway; a
+            # raw literal 0.0 would be wildly out of distribution for e.g.
+            # geopotential when scale=False)
+            cell_mean = np.where(cnt > 0, cell_mean, chan_mean)
+            fill = self._normalize(cell_mean)
             self._impute_fill_cache = np.nan_to_num(
                 fill.astype(np.float32), copy=False
             )
@@ -232,9 +240,15 @@ class SeriesDataset:
                 [_fold(y_win[:, s * t_out : (s + 1) * t_out]) for s in range(k)],
                 axis=1,
             )
-            t0 = np.asarray(self.store.times)[
+            # reduce mod the insolation period in float64 BEFORE the f32
+            # cast (geometry/insolation.py): raw present-day epoch days
+            # would quantize the in-graph training forcing clock to ~84 s
+            from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS
+
+            t0 = np.asarray(self.store.times, np.float64)[
                 starts + (t_in - 1) * self.interval
-            ].astype(np.float32)
+            ]
+            t0 = np.mod(t0, INSOLATION_PERIOD_DAYS).astype(np.float32)
             return x_win, targets, t0
         parts = [_fold(x_win)]
         if cfg.add_insolation:

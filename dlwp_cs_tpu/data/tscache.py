@@ -81,8 +81,11 @@ class _TSFields:
     def __getitem__(self, idx):
         if isinstance(idx, (list, np.ndarray)):
             idx = np.asarray(idx)
-            out = np.stack([np.asarray(self._arr[int(i)].read().result()) for i in idx])
-            return out
+            # issue ALL reads before blocking: tensorstore is async-native,
+            # so the chunk fetches overlap instead of paying one round-trip
+            # latency per index
+            futs = [self._arr[int(i)].read() for i in idx]
+            return np.stack([np.asarray(f.result()) for f in futs])
         return np.asarray(self._arr[idx].read().result())
 
 

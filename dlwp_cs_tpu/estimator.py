@@ -53,7 +53,7 @@ class DLWPEstimator:
     # -- data wiring -------------------------------------------------------
     def _dataset(self, store, *, shuffle: bool) -> SeriesDataset:
         lat, lon = self.cs.cell_latlon
-        return SeriesDataset(
+        ds = SeriesDataset(
             store,
             self.config.data,
             lat=lat,
@@ -61,7 +61,22 @@ class DLWPEstimator:
             batch_size=self.config.train.batch_size,
             shuffle=shuffle,
             seed=self.config.train.seed,
+            interval=self.config.data.interval,
         )
+        # The rollout advances its insolation clock and labels lead_hours by
+        # step_hours; training windows stride the store by interval.  A
+        # mismatch (e.g. a 3-hourly store with default step_hours=6 and
+        # interval=1) silently phase-shifts the forcing and mislabels leads.
+        if ds.dt_days > 0:
+            eff_hours = ds.dt_days * 24.0
+            if abs(eff_hours - self.config.data.step_hours) > 1e-6:
+                raise ValueError(
+                    f"store spacing x interval = {eff_hours:g} h per model "
+                    f"step, but DataConfig.step_hours = "
+                    f"{self.config.data.step_hours:g} — set interval/"
+                    "step_hours so they agree"
+                )
+        return ds
 
     def _capture_stats(self, store, ds: SeriesDataset) -> None:
         self.stats = {
@@ -117,12 +132,20 @@ class DLWPEstimator:
             raise RuntimeError("fit or load the estimator first")
         dcfg = self.config.data
         t_in = dcfg.input_time_steps
+        iv = dcfg.interval
         mean = np.asarray(self.stats["mean"], np.float32)
         std = np.asarray(self.stats["std"], np.float32)
         init_indices = np.asarray(init_indices)
+        need = (t_in - 1) * iv
+        if np.any(init_indices < need):
+            bad = int(init_indices[init_indices < need][0])
+            raise ValueError(
+                f"init index {bad} needs {need} preceding store samples for "
+                f"a {t_in}-step input window at interval {iv}"
+            )
         windows = np.stack(
             [
-                (np.asarray(store.fields[i - t_in + 1 : i + 1]) - mean) / std
+                (np.asarray(store.fields[i - need : i + 1 : iv]) - mean) / std
                 for i in init_indices
             ]
         )

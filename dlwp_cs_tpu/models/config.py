@@ -95,6 +95,10 @@ class DataConfig:
     input_time_steps: int = 2
     output_time_steps: int = 2
     step_hours: float = 6.0
+    # Store samples per model time step (the reference's ``interval``): 2 on
+    # 3-hourly data gives dt = 6 h.  step_hours is the MODEL dt — it must
+    # equal store_spacing * interval (DLWPEstimator validates).
+    interval: int = 1
     add_insolation: bool = True
     constants: tuple[str, ...] = ("topography", "land_sea_mask")
 

@@ -30,17 +30,34 @@ def initialize_distributed(
     With no arguments, relies on the environment (TPU pod metadata or
     JAX_COORDINATOR_ADDRESS etc.); safe to call unconditionally — a
     single-process run simply skips initialization.
+
+    MUST run before anything touches the XLA backend — including
+    ``jax.process_count()``/``jax.devices()`` in THIS function (calling them
+    first initializes the backend and makes ``jax.distributed.initialize``
+    raise, which an earlier version swallowed, silently degrading a pod to N
+    isolated single-host runs).  Only the already-initialized RuntimeError is
+    treated as benign.
     """
-    already_multi = jax.process_count() > 1
-    if already_multi:
-        return True
-    if coordinator_address is None and num_processes is None:
+    def _try_init(**kwargs) -> bool:
         try:
-            jax.distributed.initialize()
-        except Exception:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:
+            if "already initialized" in str(e).lower():
+                return True  # idempotent re-entry
+            raise
+        except ValueError:
+            # no coordinator/environment configured: a plain single-process
+            # run (the no-args autodetect path only)
+            if kwargs:
+                raise
+            return False
+        return True
+
+    if coordinator_address is None and num_processes is None:
+        if not _try_init():
             return False
         return jax.process_count() > 1
-    jax.distributed.initialize(
+    _try_init(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,

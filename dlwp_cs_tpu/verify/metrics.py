@@ -57,6 +57,8 @@ def forecast_error(
     ``method``: 'rmse' | 'mse' | 'mae'.  ``weights``: optional (6, n, n)
     cell weights (e.g. ``CubedSphere(n).area_weights``).
     """
+    if method not in ("rmse", "mse", "mae"):  # fail fast, before the reduce
+        raise ValueError(f"method must be rmse|mse|mae, got {method!r}")
     f = np.asarray(forecast, dtype=np.float64)
     t = np.asarray(truth, dtype=np.float64)
     if f.shape != t.shape:
@@ -66,11 +68,7 @@ def forecast_error(
         return _reduce(err, f, weights, keep_channels)
     err = np.square(f - t)
     out = _reduce(err, f, weights, keep_channels)
-    if method == "rmse":
-        return np.sqrt(out)
-    if method == "mse":
-        return out
-    raise ValueError(f"method must be rmse|mse|mae, got {method!r}")
+    return np.sqrt(out) if method == "rmse" else out
 
 
 def persistence_error(initial, truth, method: str = "rmse", *, weights=None):
