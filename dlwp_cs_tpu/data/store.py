@@ -60,8 +60,17 @@ class MemoryStore:
             raise ValueError("times length mismatch")
         if len(self.variables) != c or len(self.mean) != c or len(self.std) != c:
             raise ValueError("variables/mean/std length mismatch with channels")
-        if self.constants is not None and self.constants.shape[:3] != (6, n, n):
-            raise ValueError(f"constants must be (6, {n}, {n}, K)")
+        if self.constants is not None:
+            if self.constants.ndim != 4 or self.constants.shape[:3] != (6, n, n):
+                raise ValueError(
+                    f"constants must be (6, {n}, {n}, K), got "
+                    f"{self.constants.shape}"
+                )
+            if len(self.constant_names) != self.constants.shape[3]:
+                raise ValueError(
+                    f"{len(self.constant_names)} constant_names for "
+                    f"{self.constants.shape[3]} constant channels"
+                )
 
     @property
     def grid_n(self) -> int:

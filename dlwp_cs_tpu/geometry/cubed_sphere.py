@@ -240,11 +240,19 @@ def edge_table() -> tuple[tuple[EdgeLink, ...], ...]:
                 )
             table[f][e] = matches[0]
     # Symmetry sanity: the link must be mutual with identical reverse flag.
+    # Explicit raise (not a bare assert): this guarantee must hold under
+    # ``python -O`` too — it is the module's "topology can't rot silently"
+    # contract.
     for f in range(6):
         for e in range(4):
             link = table[f][e]
             back = table[link.face][link.edge]
-            assert back.face == f and back.edge == e and back.reverse == link.reverse
+            if not (back.face == f and back.edge == e
+                    and back.reverse == link.reverse):
+                raise AssertionError(
+                    f"edge table asymmetry: face {f} edge {e} links to "
+                    f"{link}, which links back to {back}"
+                )
     return tuple(tuple(row) for row in table)  # type: ignore[arg-type]
 
 

@@ -50,7 +50,16 @@ LAYERS = {**_MODULES, **_FUNCTIONS}
 
 
 def register_layer(name: str, fn, *, is_module: bool = False) -> None:
-    """Extend the registry (the analog of adding a class to DLWP.custom)."""
+    """Extend the registry (the analog of adding a class to DLWP.custom).
+
+    Re-registering an existing name replaces it consistently in BOTH the
+    kind-specific table and the combined view (previously a function
+    registered over a module name left the module entry live, so
+    ``SequentialSpec`` and ``get_layer`` resolved the same name to two
+    different layers).
+    """
+    _MODULES.pop(name, None)
+    _FUNCTIONS.pop(name, None)
     target = _MODULES if is_module else _FUNCTIONS
     target[name] = fn
     LAYERS[name] = fn
@@ -67,10 +76,29 @@ def get_layer(name: str):
 
 
 def freeze_spec(spec):
-    """Make a layer spec hashable so it can be a flax module attribute."""
+    """Make a layer spec hashable so it can be a flax module attribute.
+
+    Converts RECURSIVELY: specs loaded from JSON/YAML carry lists inside the
+    args/kwarg values (e.g. ``kernel_size: [3, 3]``), which would make the
+    flax module unhashable under jit static args / tabulate / comparison.
+    """
+
+    def freeze_value(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(freeze_value(u) for u in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, freeze_value(u)) for k, u in v.items()))
+        return v
+
     out = []
     for name, args, kwargs in spec:
-        out.append((name, tuple(args), tuple(sorted(kwargs.items()))))
+        out.append(
+            (
+                name,
+                tuple(freeze_value(a) for a in args),
+                tuple(sorted((k, freeze_value(v)) for k, v in kwargs.items())),
+            )
+        )
     return tuple(out)
 
 

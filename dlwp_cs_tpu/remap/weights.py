@@ -92,19 +92,22 @@ def _bilinear_1d(grid: np.ndarray, x: np.ndarray, *, periodic: bool, period=2 * 
     (constant extrapolation), appropriate for latitudes near the poles.
     """
     n = len(grid)
+    if np.any(np.diff(grid) <= 0):
+        raise ValueError(
+            "interpolation grid must be strictly ascending (got a "
+            "descending or non-monotone axis — ERA5 ships latitudes "
+            "north->south; flip them first).  A descending axis would "
+            "produce plausible-looking but WRONG weights (row sums still 1)."
+        )
     if periodic:
         step0 = grid[0]
+        # mod maps x into [grid[0], grid[0]+period), so i0 >= 0 always and
+        # only the seam segment [grid[-1], grid[0]+period) needs the wrap
         xs = np.mod(x - step0, period) + step0
         i0 = np.searchsorted(grid, xs, side="right") - 1
         i1 = (i0 + 1) % n
-        g0 = grid[np.clip(i0, 0, n - 1)]
+        g0 = grid[i0]
         g1 = np.where(i1 == 0, grid[0] + period, grid[i1])
-        # points below grid[0] wrap to the seam segment [grid[-1], grid[0]+P]
-        below = i0 < 0
-        i0 = np.where(below, n - 1, i0)
-        g0 = np.where(below, grid[-1] - period, g0)
-        g1 = np.where(below, grid[0], g1)
-        i1 = np.where(below, 0, i1)
         w1 = (xs - g0) / (g1 - g0)
     else:
         i0 = np.clip(np.searchsorted(grid, x, side="right") - 1, 0, n - 2)

@@ -102,7 +102,17 @@ class TestExactClipping:
 
     @pytest.mark.parametrize(
         "ncs,nlat,nlon,centered",
-        [(4, 8, 16, True), (8, 16, 32, True), (16, 25, 48, False)],
+        [
+            (4, 8, 16, True),
+            (8, 16, 32, True),
+            (16, 25, 48, False),
+            # awkward coarse/odd gratings: CS edge arcs bulge far over the
+            # latitude clip boundaries here, exercising the single-segment
+            # LENS case the clip engine used to silently drop
+            (3, 7, 9, True),
+            (5, 6, 11, False),
+            (6, 10, 13, True),
+        ],
     )
     def test_exact_conservation_machine_precision(
         self, tmp_path, ncs, nlat, nlon, centered
@@ -175,3 +185,20 @@ class TestExactClipping:
             np.testing.assert_allclose(
                 v * A_ll[r], pa[(int(c), int(r))], rtol=1e-11
             )
+
+
+def test_clip_engine_selftest():
+    """The binary's built-in clip self-test: a latitude clip of a quad whose
+    top great arc bulges poleward must keep the LENS (single-kept-segment
+    case) — areas partition to machine precision (pre-fix code dropped it:
+    defect 1.36e-2 sr, verified)."""
+    import subprocess
+
+    from dlwp_cs_tpu.remap.native import build_csremap
+
+    binary = build_csremap()
+    r = subprocess.run(
+        [str(binary), "--selftest-clip"], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr
+    assert "PASS" in r.stderr

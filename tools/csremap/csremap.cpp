@@ -194,7 +194,8 @@ void add_weight(std::vector<std::pair<int32_t, double>>& row_acc, int32_t col,
 struct SPoly {
   std::vector<Vec3> v;
   std::vector<int> etype;
-  bool empty() const { return v.size() < 3; }
+  // 2 vertices is a valid LENS (arc + closing boundary arc), not empty
+  bool empty() const { return v.size() < 2; }
 };
 
 // Point on the great arc from a to b at fraction of the subtended angle.
@@ -299,7 +300,7 @@ SPoly clip(const SPoly& poly, InsideF inside, CrossF crossings, PointF point_at,
            int new_etype) {
   SPoly out;
   size_t n = poly.v.size();
-  if (n < 3) return out;
+  if (n < 2) return out;
   // 1. collect the kept sub-segments of every edge, in boundary order
   struct Seg {
     Vec3 p0, p1;
@@ -326,7 +327,10 @@ SPoly clip(const SPoly& poly, InsideF inside, CrossF crossings, PointF point_at,
       segs.push_back({p0, p1, et});
     }
   }
-  if (segs.size() < 2) return out;
+  // A SINGLE kept sub-segment is a lens: the sub-arc plus one closing
+  // clip-boundary edge (a latitude arc bulged over by a great arc).
+  // Discarding it dropped the lens area from every column it touched.
+  if (segs.empty()) return out;
   // 2. stitch: consecutive kept segments either share an endpoint (the
   // boundary continues along the original polygon) or are bridged by a
   // new clip-boundary edge.  This also handles cuts that pass exactly
@@ -341,7 +345,7 @@ SPoly clip(const SPoly& poly, InsideF inside, CrossF crossings, PointF point_at,
       out.etype.push_back(new_etype);
     }
   }
-  if (out.v.size() < 3) out.v.clear(), out.etype.clear();
+  if (out.v.size() < 2) out.v.clear(), out.etype.clear();
   return out;
 }
 
@@ -655,16 +659,48 @@ bool write_coo(const char* path, const Coo& coo, uint32_t n_t, uint32_t n_s) {
   if (!f) return false;
   uint32_t version = 1;
   uint64_t nnz = coo.rows.size();
-  std::fwrite("CSRM", 1, 4, f);
-  std::fwrite(&version, 4, 1, f);
-  std::fwrite(&n_t, 4, 1, f);
-  std::fwrite(&n_s, 4, 1, f);
-  std::fwrite(&nnz, 8, 1, f);
-  std::fwrite(coo.rows.data(), 4, nnz, f);
-  std::fwrite(coo.cols.data(), 4, nnz, f);
-  std::fwrite(coo.vals.data(), 8, nnz, f);
-  std::fclose(f);
-  return true;
+  // every fwrite checked: a disk-full short write must NOT exit 0 with a
+  // truncated weight file (a pipeline checking the exit code would cache it)
+  bool ok = std::fwrite("CSRM", 1, 4, f) == 4 &&
+            std::fwrite(&version, 4, 1, f) == 1 &&
+            std::fwrite(&n_t, 4, 1, f) == 1 &&
+            std::fwrite(&n_s, 4, 1, f) == 1 &&
+            std::fwrite(&nnz, 8, 1, f) == 1 &&
+            std::fwrite(coo.rows.data(), 4, nnz, f) == nnz &&
+            std::fwrite(coo.cols.data(), 4, nnz, f) == nnz &&
+            std::fwrite(coo.vals.data(), 8, nnz, f) == nnz;
+  ok = (std::fclose(f) == 0) && ok;
+  return ok;
+}
+
+// Clip-engine self-test (run with --selftest-clip): a quad whose top edge
+// is a great arc between two same-latitude points BULGES poleward of them;
+// clipping at a z0 between the endpoint latitude and the arc apex keeps a
+// LENS bounded by one arc sub-segment plus one latitude closing arc — the
+// single-kept-segment case the engine used to silently drop.  PASS iff the
+// two half-areas partition the quad to machine precision.
+int selftest_clip() {
+  auto ll = [](double lat_deg, double lon_deg) -> Vec3 {
+    double la = lat_deg * kPi / 180.0, lo = lon_deg * kPi / 180.0;
+    return {std::cos(la) * std::cos(lo), std::cos(la) * std::sin(lo),
+            std::sin(la)};
+  };
+  SPoly quad;
+  quad.v = {ll(20, -30), ll(20, 30), ll(40, 30), ll(40, -30)};
+  quad.etype = {0, 0, 0, 0};
+  // arc apex between (40, +-30): tan(apex) = tan(40)/cos(30) -> ~44.1 deg
+  double z0 = std::sin(42.0 * kPi / 180.0);
+  SPoly lens = clip_z(quad, z0, +1);
+  SPoly rest = clip_z(quad, z0, -1);
+  double a_full = spoly_area(quad);
+  double a_lens = spoly_area(lens);
+  double a_rest = spoly_area(rest);
+  double defect = std::fabs(a_lens + a_rest - a_full);
+  bool ok = a_lens > 1e-6 && defect < 1e-12;
+  std::fprintf(stderr,
+               "selftest-clip: lens=%.6e rest=%.6e full=%.6e defect=%.3e %s\n",
+               a_lens, a_rest, a_full, defect, ok ? "PASS" : "FAIL");
+  return ok ? 0 : 1;
 }
 
 }  // namespace
@@ -676,6 +712,7 @@ int main(int argc, char** argv) {
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> const char* { return (i + 1 < argc) ? argv[++i] : ""; };
+    if (a == "--selftest-clip") return selftest_clip();
     if (a == "--mode") mode = next();
     else if (a == "--nlat") nlat = std::atoi(next());
     else if (a == "--nlon") nlon = std::atoi(next());
