@@ -27,6 +27,7 @@ class PrefetchIterator:
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._err: BaseException | None = None
+        self._closed = False
         self._thread = threading.Thread(
             target=self._worker, args=(iterable,), daemon=True
         )
@@ -40,6 +41,8 @@ class PrefetchIterator:
     def _worker(self, iterable):
         try:
             for item in iterable:
+                if self._closed:
+                    return
                 self._queue.put(self._put(item))
         except BaseException as e:  # propagate into consumer
             self._err = e
@@ -52,10 +55,35 @@ class PrefetchIterator:
     def __next__(self):
         item = self._queue.get()
         if item is self._SENTINEL:
+            # Re-arm the sentinel: exhausted iterators must raise
+            # StopIteration on EVERY subsequent call (Trainer.fit's fused
+            # chunk loop calls next() again after a partial tail chunk —
+            # a one-shot sentinel deadlocked it on queue.get()).
+            self._queue.put(self._SENTINEL)
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self) -> None:
+        """Release the worker of an abandoned iterator.
+
+        Without this, a consumer that stops early leaves the daemon thread
+        blocked on a full queue, pinning ``depth + 1`` device-resident
+        batches for the iterator's lifetime.
+        """
+        self._closed = True
+        while True:  # drain so a blocked put() can finish and observe _closed
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+
+    def __del__(self):  # noqa: D105 - best-effort release
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def prefetch_to_device(iterable, *, depth: int = 2, sharding=None):

@@ -60,15 +60,26 @@ class LatLonConv2D(nn.Module):
         )
 
 
-def _pool(x, window):
+def _pool(x, window, mode: str = "avg"):
     h, w = x.shape[-3], x.shape[-2]
     if h % window or w % window:
         raise ValueError(f"grid {(h, w)} not divisible by pool window {window}")
     shape = x.shape[:-3] + (h // window, window, w // window, window, x.shape[-1])
-    return x.reshape(shape).mean(axis=(-4, -2))
+    r = x.reshape(shape)
+    return r.max(axis=(-4, -2)) if mode == "max" else r.mean(axis=(-4, -2))
 
 
-def _upsample(x, factor):
+def _upsample(x, factor, method: str = "nearest"):
+    if method == "bilinear":
+        import jax
+
+        h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
+        lead = x.shape[:-3]
+        flat = x.reshape((-1, h, w, c))
+        out = jax.image.resize(
+            flat, (flat.shape[0], h * factor, w * factor, c), method="bilinear"
+        )
+        return out.reshape(lead + (h * factor, w * factor, c))
     x = jnp.repeat(x, factor, axis=-3)
     return jnp.repeat(x, factor, axis=-2)
 
@@ -109,10 +120,10 @@ class LatLonUNet(nn.Module):
         for level, feats in enumerate(cfg.filters[:-1]):
             x = block(x, feats, f"enc{level}")
             skips.append(x)
-            x = _pool(x, 2)
+            x = _pool(x, 2, cfg.pooling)
         x = block(x, cfg.filters[-1], f"enc{depth - 1}")
         for level in range(depth - 2, -1, -1):
-            x = _upsample(x, 2)
+            x = _upsample(x, 2, cfg.upsample)
             x = jnp.concatenate([x, skips[level]], axis=-1)
             x = block(x, cfg.filters[level], f"dec{level}")
         out = LatLonConv2D(

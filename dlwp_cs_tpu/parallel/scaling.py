@@ -11,6 +11,7 @@ the same code produces the real numbers on a pod slice.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 
@@ -105,9 +106,6 @@ def measure_scaling(
         gridpoints = b * 6 * n_grid * n_grid
         dt, gps = _throughput(step, state, x, y, iters=iters, gridpoints=gridpoints)
         per_chip = gps / n_dev
-        eff = None if base is None else per_chip / base
-        if base is None:
-            base = per_chip
         results.append(
             ScalingResult(
                 mesh_shape=(data, spatial),
@@ -115,7 +113,20 @@ def measure_scaling(
                 step_seconds=dt,
                 gridpoints_per_s=gps,
                 gridpoints_per_s_per_chip=per_chip,
-                efficiency_vs_single=eff,
+                efficiency_vs_single=None,
             )
         )
+    # efficiency_vs_single means what it says: computed only when a
+    # 1-device row was measured (previously the FIRST measured config
+    # became the silent baseline, so omitting the (1,1) row made a 4-chip
+    # run the "single" denominator); the baseline row reports 1.0
+    single = next((r for r in results if r.n_devices == 1), None)
+    if single is not None:
+        base = single.gridpoints_per_s_per_chip
+        results = [
+            dataclasses.replace(
+                r, efficiency_vs_single=r.gridpoints_per_s_per_chip / base
+            )
+            for r in results
+        ]
     return results

@@ -30,10 +30,17 @@ def align_truth(store, init_times, lead_hours):
       ``lead_hours`` (L',) — leads truncated to those with full truth
       coverage, ``valid_months`` (B, L') 0-based months of the valid times.
     """
-    times = np.asarray(store.times)
+    times = np.asarray(store.times, np.float64)
     if len(times) < 2:
         raise ValueError("store must contain at least 2 samples")
-    dt = times[1] - times[0]
+    spacing = np.diff(times)
+    dt = float(spacing[0])
+    if not np.allclose(spacing, dt, rtol=0, atol=1e-9):
+        raise ValueError(
+            "store times are not uniformly spaced — index-based alignment "
+            "would select wrong verification samples"
+        )
+    tol = dt * 1e-3  # a valid time must land ON a sample, not merely near one
     init_times = np.asarray(init_times, np.float64)
     lead_hours = np.asarray(lead_hours, np.float64)
     b, n_lead = len(init_times), len(lead_hours)
@@ -46,13 +53,27 @@ def align_truth(store, init_times, lead_hours):
         idx0 = int(round((init_times[bi] - times[0]) / dt))
         if not 0 <= idx0 < len(times):
             raise ValueError(f"init time {init_times[bi]} outside the store")
+        if abs(times[idx0] - init_times[bi]) > tol:
+            raise ValueError(
+                f"init time {init_times[bi]} is not a store sample "
+                f"(nearest is {times[idx0]})"
+            )
         init_fields[bi] = store.fields[idx0]
         for li in range(n_lead):
             t_valid = init_times[bi] + lead_hours[li] / 24.0
             idx = int(round((t_valid - times[0]) / dt))
-            if 0 <= idx < len(times):
+            if 0 <= idx < len(times) and abs(times[idx] - t_valid) <= tol:
                 truth[bi, li] = store.fields[idx]
                 months[bi, li] = days_to_datetime(float(t_valid)).month - 1
+            elif 0 <= idx < len(times):
+                # a lead that falls BETWEEN store samples (model dt not a
+                # multiple of the store spacing) must not silently verify
+                # against the nearest sample
+                raise ValueError(
+                    f"valid time {t_valid} (init {init_times[bi]} + "
+                    f"{lead_hours[li]} h) falls between store samples "
+                    f"(spacing {dt * 24:g} h)"
+                )
             else:
                 valid[bi, li] = False
     keep = valid.all(axis=0)

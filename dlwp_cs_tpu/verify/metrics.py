@@ -71,22 +71,27 @@ def forecast_error(
     return np.sqrt(out) if method == "rmse" else out
 
 
-def persistence_error(initial, truth, method: str = "rmse", *, weights=None):
+def persistence_error(initial, truth, method: str = "rmse", *, weights=None,
+                      keep_channels: bool = False):
     """Error of persisting ``initial`` ``(B, 6, n, n, C)`` over all leads."""
     init = np.asarray(initial)[:, None]
     f = np.broadcast_to(init, np.asarray(truth).shape)
-    return forecast_error(f, truth, method, weights=weights)
+    return forecast_error(f, truth, method, weights=weights,
+                          keep_channels=keep_channels)
 
 
-def climo_error(climatology, truth, method: str = "rmse", *, weights=None):
+def climo_error(climatology, truth, method: str = "rmse", *, weights=None,
+                keep_channels: bool = False):
     """Error of a constant climatology ``(6, n, n, C)`` forecast."""
     t = np.asarray(truth)
     f = np.broadcast_to(np.asarray(climatology)[None, None], t.shape)
-    return forecast_error(f, truth, method, weights=weights)
+    return forecast_error(f, truth, method, weights=weights,
+                          keep_channels=keep_channels)
 
 
 def monthly_climo_error(
-    monthly_climatology, truth, valid_months, method: str = "rmse", *, weights=None
+    monthly_climatology, truth, valid_months, method: str = "rmse", *,
+    weights=None, keep_channels: bool = False,
 ):
     """Error of a per-month climatology.
 
@@ -96,21 +101,25 @@ def monthly_climo_error(
     mc = np.asarray(monthly_climatology)
     months = np.asarray(valid_months)
     f = mc[months]  # (B, L, 6, n, n, C)
-    return forecast_error(f, truth, method, weights=weights)
+    return forecast_error(f, truth, method, weights=weights,
+                          keep_channels=keep_channels)
 
 
-def acc_curve(forecast, truth, climatology, *, weights=None):
-    """Anomaly correlation coefficient per lead time: ``(L,)``.
+def acc_curve(forecast, truth, climatology, *, weights=None,
+              keep_channels: bool = False):
+    """Anomaly correlation coefficient per lead time: ``(L,)`` (or
+    ``(L, C)`` with ``keep_channels`` — mixing channels of different
+    physical scales makes the all-channel ACC dominated by the largest).
 
     Anomalies are taken w.r.t. ``climatology`` ``(6, n, n, C)`` (or any
-    broadcastable shape); averaged over initializations, cells and channels.
+    broadcastable shape); averaged over initializations and cells.
     """
     f = np.asarray(forecast, dtype=np.float64)
     t = np.asarray(truth, dtype=np.float64)
     c = np.broadcast_to(np.asarray(climatology, dtype=np.float64), f.shape)
     w = _weights_like(f, weights)[..., None]
     fa, ta = f - c, t - c
-    axes = (0, *_SPATIAL, f.ndim - 1)
+    axes = (0, *_SPATIAL) if keep_channels else (0, *_SPATIAL, f.ndim - 1)
     num = (w * fa * ta).sum(axis=axes)
     den = np.sqrt(
         (w * fa * fa).sum(axis=axes) * (w * ta * ta).sum(axis=axes)

@@ -93,11 +93,13 @@ def main() -> int:
         insol_std=stats["insol_std"],
     )
     # one batched rollout over all initializations, each with insolation at
-    # its OWN init time (a per-member (B,) t0 vector)
+    # its OWN init time (a per-member (B,) t0 vector).  t0s stay float64:
+    # predict reduces them mod the insolation period BEFORE the f32 cast —
+    # pre-casting would quantize the forcing clock to ~84 s.
     import jax.numpy as jnp
 
     fc = est.predict(
-        jnp.asarray(windows), jnp.asarray(t0s, jnp.float32), steps=calls
+        jnp.asarray(windows), np.asarray(t0s, np.float64), steps=calls
     )
     fields = np.asarray(fc.fields) * std + mean  # de-normalize
     np.savez(

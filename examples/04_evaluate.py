@@ -47,12 +47,16 @@ def main() -> int:
 
     climo = store.fields.mean(axis=0)
     w = cs.area_weights
+    # all curves PER CHANNEL: an all-channel mix is dominated by whichever
+    # variable has the largest physical scale, making the model-vs-baseline
+    # comparison meaningless for the others
     rmse = forecast_error(fields, truth, "rmse", weights=w, keep_channels=True)
-    pers = persistence_error(init_fields, truth, weights=w)
-    clim = climo_error(climo, truth, weights=w)
-    acc = acc_curve(fields, truth, climo, weights=w)
+    pers = persistence_error(init_fields, truth, weights=w, keep_channels=True)
+    clim = climo_error(climo, truth, weights=w, keep_channels=True)
+    acc = acc_curve(fields, truth, climo, weights=w, keep_channels=True)
 
     vi = variables.index(args.variable) if args.variable else 0
+    pers, clim, acc = pers[:, vi], clim[:, vi], acc[:, vi]
     curves = {
         f"model ({variables[vi]})": rmse[:, vi],
         "persistence": pers,

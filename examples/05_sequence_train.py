@@ -103,7 +103,6 @@ def main() -> int:
     else:
         step = make_sequence_train_step(loss, opt)
 
-    window0, _, _ = ds.make_batch(ds._starts[:1])
     x0 = jnp.zeros((1, 6, n, n, dcfg.input_channels))
     params = model.init(__import__("jax").random.PRNGKey(0), x0)
     state = init_state(params, opt)

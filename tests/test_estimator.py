@@ -82,7 +82,10 @@ class TestScalingHarness:
             iters=2,
         )
         assert len(results) == 3
-        assert results[0].efficiency_vs_single is None
+        # the 1-device row IS the baseline: efficiency 1.0 (None only when
+        # no single-device row was measured)
+        assert results[0].efficiency_vs_single == 1.0
+        assert all(r.efficiency_vs_single is not None for r in results)
         assert all(r.gridpoints_per_s > 0 for r in results)
         assert results[1].mesh_shape == (2, 1)
         assert results[2].n_devices == 4

@@ -121,3 +121,46 @@ def test_fused_dp_shardmap_matches_gspmd():
     )
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_fused_tail_with_prefetch_does_not_deadlock():
+    """PrefetchIterator must raise StopIteration on EVERY call after
+    exhaustion: the fused chunk loop calls next() once more after a partial
+    tail chunk, which deadlocked the one-shot-sentinel implementation
+    (5 batches, fused_steps=2 -> 2 full chunks + tail of 1)."""
+    from dlwp_cs_tpu.data.prefetch import prefetch_to_device
+
+    dcfg = DataConfig(grid_n=N)
+    batches = _batches(dcfg, 5)
+    model = CubeSphereUNet(
+        UNetConfig(output_channels=dcfg.output_channels, filters=(4,))
+    )
+    tr = Trainer(
+        model,
+        TrainConfig(
+            learning_rate=1e-3, max_epochs=2, checkpoint_every_epochs=100,
+            fused_steps=2,
+        ),
+    )
+    state = tr.init(jnp.asarray(batches[0][0]))
+    state = tr.fit(
+        state, lambda: prefetch_to_device(iter(batches)), verbose=False
+    )
+    assert int(state.step) == 10
+    assert len(tr.history.steps) == 10
+
+
+def test_prefetch_repeated_stopiteration_and_close():
+    from dlwp_cs_tpu.data.prefetch import PrefetchIterator
+
+    it = PrefetchIterator(iter([np.zeros(2), np.ones(2)]))
+    assert len(list(it)) == 2
+    for _ in range(3):  # exhausted: every subsequent next() raises
+        with pytest.raises(StopIteration):
+            next(it)
+    # abandoning early + close() releases the worker
+    it2 = PrefetchIterator(iter([np.zeros(2)] * 16), depth=2)
+    next(it2)
+    it2.close()
+    it2._thread.join(timeout=10)
+    assert not it2._thread.is_alive()
