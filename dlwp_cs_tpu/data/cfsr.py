@@ -17,12 +17,12 @@ from __future__ import annotations
 
 import urllib.error
 import urllib.request
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
 
-from dlwp_cs_tpu.data.era5 import netcdf_time_to_epoch_days, read_netcdf_var
+from dlwp_cs_tpu.data.era5 import cf_time_to_epoch_days, read_netcdf_var
 
 __all__ = ["CFSReanalysis", "CFSReforecast"]
 
@@ -37,7 +37,9 @@ class CFSReanalysis:
     root_directory: str | Path = "cfsr"
     file_format: str = "{var}.l.gdas.{yyyymm}.grb2"
     base_url: str = _NCDC
-    _files: dict = field(default_factory=dict)
+    # URL path segment between base_url and the per-year directory —
+    # overridden by the reforecast subclass (different product layout)
+    product_path: str = "reanalysis/monthly"
 
     def _target(self, var: str, year: int, month: int) -> Path:
         return Path(self.root_directory) / self.file_format.format(
@@ -57,12 +59,18 @@ class CFSReanalysis:
                         paths.append(target)
                         continue
                     url = (
-                        f"{self.base_url}/reanalysis/monthly/{year}"
+                        f"{self.base_url}/{self.product_path}/{year}"
                         f"/{target.name}"
                     )
+                    # download to a tmp name and rename: a dropped connection
+                    # must not leave a partial file that the next retrieve()
+                    # mistakes for a complete cached download
+                    tmp = target.with_name(target.name + ".part")
                     try:
-                        urllib.request.urlretrieve(url, target)
+                        urllib.request.urlretrieve(url, tmp)
+                        tmp.replace(target)
                     except (urllib.error.URLError, OSError) as e:
+                        tmp.unlink(missing_ok=True)
                         raise RuntimeError(
                             f"CFS retrieval needs network access (failed on "
                             f"{url}); run on a connected machine"
@@ -81,11 +89,25 @@ class CFSReanalysis:
         return read_grib2(path, param=param)
 
     def open(self, path, variable: str):
-        """Open a converted netCDF file: returns (data, lats, lons, times)."""
+        """Open a converted netCDF file: returns (data, lats, lons, times).
+
+        The time axis is decoded from the file's own CF ``units`` attribute
+        (wgrib2 conversions commonly use 'seconds since 1970-01-01', not the
+        ERA5 'hours since 1900' epoch a fixed helper would assume).
+        """
+        import h5py
+
         data = read_netcdf_var(path, variable)
         lats = np.deg2rad(read_netcdf_var(path, "latitude"))
         lons = np.deg2rad(read_netcdf_var(path, "longitude"))
-        times = netcdf_time_to_epoch_days(read_netcdf_var(path, "time"))
+        with h5py.File(path, "r") as f:
+            units = f["time"].attrs.get("units", None)
+        if units is None:
+            raise ValueError(
+                f"time variable in {path} has no CF 'units' attribute; "
+                "cannot decode the epoch safely"
+            )
+        times = cf_time_to_epoch_days(read_netcdf_var(path, "time"), units)
         if lats[0] > lats[-1]:
             lats = lats[::-1]
             data = data[:, ::-1]
@@ -97,3 +119,4 @@ class CFSReforecast(CFSReanalysis):
     """CFS reforecast product manager (same mechanics, different layout)."""
 
     file_format: str = "{var}.{yyyymm}.time.grb2"
+    product_path: str = "reforecast/monthly"

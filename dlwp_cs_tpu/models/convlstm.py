@@ -70,7 +70,10 @@ class _ConvLSTMCellBase(nn.Module):
         c_new = c_new + nn.sigmoid(i.astype(f32)) * jnp.tanh(g.astype(f32))
         h_new = nn.sigmoid(o.astype(f32)) * jnp.tanh(c_new)
         h_new = h_new.astype(x.dtype)
-        return (h_new, c_new), h_new
+        # preserve the caller's carry dtype: lax.scan requires identical
+        # carry input/output avals, so a user-built bf16 initial_carry must
+        # come back bf16 (the f32 compute above is internal)
+        return (h_new, c_new.astype(c.dtype)), h_new
 
     def initialize_carry(self, x_like):
         """Zero carry matching a step input ``x_like`` (spatial dims kept,

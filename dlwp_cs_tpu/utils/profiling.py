@@ -19,7 +19,7 @@ __all__ = ["trace", "Timer", "conv_roofline"]
 
 
 @contextlib.contextmanager
-def trace(logdir, *, host_tracer_level: int = 2):
+def trace(logdir):
     """Capture a jax profiler trace into ``logdir`` (view with Perfetto).
 
     Usage::
@@ -38,7 +38,11 @@ def trace(logdir, *, host_tracer_level: int = 2):
 
 @dataclass
 class Timer:
-    """Wall-clock timer with device synchronization."""
+    """Plain wall-clock timer — does NOT synchronize the device.
+
+    JAX dispatch is async: wrap the timed region's outputs in
+    ``jax.block_until_ready`` yourself, or use :meth:`time_fn`, which
+    synchronizes explicitly."""
 
     elapsed: float = 0.0
 
@@ -72,7 +76,7 @@ def conv_roofline(
     cout: int,
     kernel: int = 3,
     dtype_bytes: int = 4,
-    peak_flops: float = 394e12,  # TPU v5e bf16 peak
+    peak_flops: float = 197e12,  # TPU v5e bf16 peak (394e12 is the int8 figure)
     hbm_bw: float = 8.1e11,  # TPU v5e HBM bytes/s
 ) -> dict:
     """Roofline estimate for one cubed-sphere conv (fwd).
