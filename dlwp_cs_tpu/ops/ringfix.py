@@ -30,13 +30,49 @@ Reference parity: CubeSpherePadding2D + CubeSphereConv2D fused
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax.numpy as jnp
 from jax import lax
 
 from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
 from dlwp_cs_tpu.ops.halo import ext_strips
 
-__all__ = ["cs_conv3x3_ringfix", "ring_term"]
+__all__ = ["cs_conv3x3_ringfix", "ring_term", "use_packed_base"]
+
+# Batch->lane packing of the base SAME convs (ops.packing).  Default None =
+# AUTO: pack under the same trace-time condition as the fused Pallas
+# dispatch (single-device TPU or a shard_local_region) — there the training
+# backward runs through this composition and pack(x) CSE-shares with the
+# Pallas forward's pack, measured 12.75 vs 13.16 ms flagship train step.
+# (An earlier measurement taken BEFORE the ext-strips CSE ordering fix
+# showed a regression; PERF.md tells the story.)  GSPMD multi-device paths
+# stay unpacked: the pack reshape merges batch entries across shard
+# boundaries.  True/False force it either way (ablation knob).
+_PACK_BASE: contextvars.ContextVar = contextvars.ContextVar(
+    "ringfix_pack_base", default=None
+)
+
+
+@contextlib.contextmanager
+def use_packed_base(enabled: bool | None = True):
+    """Within this trace, ring-fix base convs run batch->lane packed
+    (``True``/``False`` force; ``None`` restores the AUTO default)."""
+    token = _PACK_BASE.set(enabled)
+    try:
+        yield
+    finally:
+        _PACK_BASE.reset(token)
+
+
+def _pack_base_enabled() -> bool:
+    flag = _PACK_BASE.get()
+    if flag is not None:
+        return flag
+    from dlwp_cs_tpu.ops.conv import _on_tpu, _pad_impl_installed
+
+    return _on_tpu() and not _pad_impl_installed()
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
@@ -67,14 +103,32 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
 
     # 1. base conv per weight group (two calls measured cheaper than one
-    # six-face call plus a polar correction conv).  NOTE: batch->lane
-    # packing (ops.packing) was tried here too and REVERTED: the packed
-    # composition's VJP adds pack(x)/pack(g)/unpack(dx) relayouts per conv
-    # that cost more than the MXU fill gain (full-model train step 13.5 ms
-    # packed vs 12.4 unpacked backward — PERF.md round-2 continuation).
-    base_eq = _same_conv(x[:, :4], k_eq)
-    base_po = _same_conv(x[:, 4:], k_pole)
-    out = jnp.concatenate([base_eq, base_po], axis=1)
+    # six-face call plus a polar correction conv); optionally batch->lane
+    # packed (use_packed_base — see the contextvar note above).
+    if _pack_base_enabled():
+        from dlwp_cs_tpu.ops import packing
+
+        p = packing.pack_factor(b, cin, k_eq.shape[-1])
+    else:
+        p = 1
+    if p > 1:
+        from dlwp_cs_tpu.ops import packing
+
+        xp = packing.pack_batch(x, p)
+        out = packing.unpack_batch(
+            jnp.concatenate(
+                [
+                    _same_conv(xp[:, :4], packing.block_diag_taps(k_eq, p)),
+                    _same_conv(xp[:, 4:], packing.block_diag_taps(k_pole, p)),
+                ],
+                axis=1,
+            ),
+            p,
+        )
+    else:
+        base_eq = _same_conv(x[:, :4], k_eq)
+        base_po = _same_conv(x[:, 4:], k_pole)
+        out = jnp.concatenate([base_eq, base_po], axis=1)
     out = out + ring_term(x, k_eq, k_pole)
     return add_group_bias(out, bias_eq, bias_pole)
 

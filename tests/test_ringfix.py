@@ -87,3 +87,30 @@ def test_non3x3_falls_through():
     out = cs_conv(x, k5, k5, backend="ringfix")
     ref = cs_conv(x, k5, k5, backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_base_matches_unpacked():
+    """use_packed_base: the batch->lane packed base convs are the exact
+    same linear map (grads included)."""
+    import jax
+
+    from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix, use_packed_base
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(4, 6, 8, 8, 3)).astype(np.float32))
+    ke = jnp.asarray(rng.normal(size=(3, 3, 3, 5)).astype(np.float32) * 0.2)
+    kp = jnp.asarray(rng.normal(size=(3, 3, 3, 5)).astype(np.float32) * 0.2)
+
+    def loss(v, a, b):
+        return jnp.sum(cs_conv3x3_ringfix(v, a, b) ** 2)
+
+    ref = cs_conv3x3_ringfix(x, ke, kp)
+    gref = jax.grad(loss, argnums=(0, 1, 2))(x, ke, kp)
+    with use_packed_base():
+        out = cs_conv3x3_ringfix(x, ke, kp)
+        gout = jax.grad(loss, argnums=(0, 1, 2))(x, ke, kp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(gout, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

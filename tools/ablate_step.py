@@ -70,7 +70,7 @@ def main() -> int:
 
     results = {}
     variants = [(b, "xla") for b in ("auto", "same", "pallas", "ringfix")]
-    variants += [("pallas", "packdw")]
+    variants += [("auto", "xla+packbase")]
     if "--all" in sys.argv:
         # measured-dead backward modes (PERF.md): compile-expensive, opt-in
         variants += [("pallas", "hybrid"), ("pallas", "fused")]
@@ -80,11 +80,15 @@ def main() -> int:
         step = make_train_step(model.apply, opt, mse, jit=False)
 
         def run_train_fn(state, step=step, bwd=bwd):
+            from dlwp_cs_tpu.ops.ringfix import use_packed_base
+
             def body(s, _):
                 s, m = step(s, x, y)
                 return s, m["loss"]
 
-            with use_pallas_backward(bwd):
+            packbase = bwd.endswith("+packbase")
+            bwd_mode = bwd.replace("+packbase", "")
+            with use_pallas_backward(bwd_mode), use_packed_base(packbase):
                 _, losses = lax.scan(body, state, None, length=CHAIN)
             return losses[-1]
 
