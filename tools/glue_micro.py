@@ -64,9 +64,27 @@ def main() -> int:
     def arr(n, c):
         return jnp.asarray(rng.normal(size=(B, 6, n, n, c)), dtype=dt)
 
+    def pool_strided(v):
+        # 4 strided slices + adds instead of the 6-D reshape-mean
+        return 0.25 * (
+            v[..., 0::2, 0::2, :]
+            + v[..., 0::2, 1::2, :]
+            + v[..., 1::2, 0::2, :]
+            + v[..., 1::2, 1::2, :]
+        )
+
+    def pool_reduce(v):
+        return lax.reduce_window(
+            v, jnp.zeros((), v.dtype), lax.add,
+            (1, 1, 2, 2, 1), (1, 1, 2, 2, 1), "VALID",
+        ) * jnp.asarray(0.25, v.dtype)
+
     rows = {}
     rows["pool48x32"] = time_chain(lambda v: cs_avg_pool(v, 2), arr(48, 32), t_over)
+    rows["poolS48x32"] = time_chain(pool_strided, arr(48, 32), t_over)
+    rows["poolR48x32"] = time_chain(pool_reduce, arr(48, 32), t_over)
     rows["pool24x64"] = time_chain(lambda v: cs_avg_pool(v, 2), arr(24, 64), t_over)
+    rows["poolS24x64"] = time_chain(pool_strided, arr(24, 64), t_over)
     rows["up24x64"] = time_chain(lambda v: cs_upsample(v, 2), arr(24, 64), t_over)
     rows["up12x128"] = time_chain(lambda v: cs_upsample(v, 2), arr(12, 128), t_over)
     skip = arr(48, 32)
