@@ -22,10 +22,15 @@ import jax.numpy as jnp
 __all__ = ["fold_time", "unfold_time", "pack_inputs"]
 
 
-def fold_time(x):
-    """``(B, T, 6, n, n, C) -> (B, 6, n, n, T*C)`` (time-major-outer)."""
+def fold_time(x, xp=jnp):
+    """``(B, T, 6, n, n, C) -> (B, 6, n, n, T*C)`` (time-major-outer).
+
+    ``xp``: array namespace — ``jnp`` (default) or ``numpy`` for the host
+    data pipeline, which must never touch an accelerator.  ONE definition of
+    the layout-defining transform for both sides (the contract this module
+    exists to centralize)."""
     t = x.shape[1]
-    x = jnp.moveaxis(x, 1, -2)  # (B, 6, n, n, T, C)
+    x = xp.moveaxis(x, 1, -2)  # (B, 6, n, n, T, C)
     return x.reshape(x.shape[:-2] + (t * x.shape[-1],))
 
 

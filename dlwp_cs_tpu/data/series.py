@@ -292,7 +292,7 @@ class SeriesDataset:
 
 
 def _fold(x: np.ndarray) -> np.ndarray:
-    """numpy twin of data.channels.fold_time: (B,T,6,n,n,C)->(B,6,n,n,T*C)."""
-    b, t = x.shape[:2]
-    x = np.moveaxis(x, 1, -2)
-    return np.ascontiguousarray(x.reshape(x.shape[:-2] + (t * x.shape[-1],)))
+    """fold_time on the host (one layout definition — data.channels)."""
+    from dlwp_cs_tpu.data.channels import fold_time
+
+    return np.ascontiguousarray(fold_time(x, xp=np))

@@ -32,7 +32,9 @@ SOLAR_CONSTANT = 1361.0
 # Days-since-epoch convention: 2000-01-01 00:00 UTC.
 J2000_EPOCH = "2000-01-01T00:00:00Z"
 
-# 2000-01-01 is day-of-year 1; offset used to convert epoch days -> day of year.
+# Spencer's day angle wants 2*pi*(DOY-1)/365.25; mod(epoch_days, 365.25)
+# is 0-based and supplies exactly DOY-1 directly (0.0 on Jan 1) — do NOT
+# 'fix' it by adding 1.
 _DAYS_PER_YEAR = 365.25
 
 # The formula is exactly periodic in 1461 days (= 4 * 365.25, the least
@@ -91,7 +93,8 @@ def insolation(days_since_epoch, lat, lon, *, s0: float = SOLAR_CONSTANT, xp=jnp
     d = xp.asarray(days_since_epoch)
     lat = xp.asarray(lat)
     lon = xp.asarray(lon)
-    # Day of year (1-based, J2000 starts at DOY 1) and UTC fraction-of-day.
+    # 0-based day-of-year (= DOY-1, what the day angle wants) and UTC
+    # fraction-of-day.
     doy = xp.mod(d, _DAYS_PER_YEAR)
     frac = xp.mod(d, 1.0)
     day_angle = 2.0 * xp.pi * doy / _DAYS_PER_YEAR

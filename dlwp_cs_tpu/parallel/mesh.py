@@ -26,6 +26,7 @@ __all__ = [
     "create_mesh",
     "batch_sharding",
     "batch_spatial_sharding",
+    "stacked_batch_sharding",
     "replicated",
     "DATA_AXIS",
     "SPATIAL_AXIS",
