@@ -178,33 +178,15 @@ def cs_conv(
     # contiguous slices, not fancy indexing: a list-index lowers to a gather
     # whose VJP is a scatter (slow on TPU); a slice's VJP is a pad.
     assert EQUATORIAL_FACES == (0, 1, 2, 3) and POLAR_FACES == (4, 5)
-    # Larger-kernel convs run batch->lane packed on TPU (ops.packing, same
-    # auto condition as the ring-fix base); exact same linear map, autodiff
-    # included.  The 1x1 head is EXCLUDED: its matmul is so small (~160 us
-    # at <1% MXU fill) that the pack/unpack relayouts cost more than they
-    # save — measured +0.5 ms/step packed (bench 13.2-13.5 vs 12.7 ms).
-    p = 1
-    if stride == 1 and kh * kw > 1:
-        from dlwp_cs_tpu.ops.ringfix import _pack_base_enabled
-
-        if _pack_base_enabled():
-            from dlwp_cs_tpu.ops import packing
-
-            p = packing.pack_factor(x.shape[0], kernel_eq.shape[2],
-                                    kernel_eq.shape[3])
-    if p > 1:
-        from dlwp_cs_tpu.ops import packing
-
-        xp = packing.pack_batch(xp, p)
-        kernel_eq = packing.block_diag_taps(kernel_eq, p)
-        kernel_pole = packing.block_diag_taps(kernel_pole, p)
+    # NOTE: batch->lane packing was tried on this generic path and REVERTED
+    # both ways: the 1x1 head's matmul is smaller than the pack/unpack
+    # relayouts (+0.5 ms/step), and the pad-materializing 3x3 path REGRESSED
+    # 22 -> 29 ms/step packed (the padded-tensor relayouts dominate).
+    # Packing lives where it wins: the fused Pallas forward and the
+    # ring-fix composition (ops.packing for the measured story).
     eq = _group_conv(xp[:, :4], kernel_eq, stride, dilation)
     pole = _group_conv(xp[:, 4:], kernel_pole, stride, dilation)
     out = jnp.concatenate([eq, pole], axis=1)
-    if p > 1:
-        from dlwp_cs_tpu.ops import packing
-
-        out = packing.unpack_batch(out, p)
     from dlwp_cs_tpu.ops.ringfix import add_group_bias
 
     return add_group_bias(out, bias_eq, bias_pole)

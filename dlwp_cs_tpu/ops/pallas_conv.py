@@ -329,22 +329,23 @@ def _forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
     k_pole = k_pole.astype(x.dtype)
     b_eq = b_eq.reshape(1, cout).astype(x.dtype)
     b_pole = b_pole.reshape(1, cout).astype(x.dtype)
-    # ext strips computed on the UNPACKED x: the training backward (the XLA
-    # composition VJP) recomputes ext_strips(x) from the residual, and XLA
-    # CSE shares it with this one only if the operands are identical —
-    # packing first was measured to cost the full gather a second time in
-    # the backward (~1.7 ms/step).  The strips are channel-agnostic, so
-    # packing the small strips tensor afterwards is equivalent.
-    ext = ext_strips(x)  # (B, 6, 4, n+2, C) — corner ghosts included
+    # When packing, the ghost strips are gathered on the PACKED tensor:
+    # full 128-lane rows gather ~free where 32-lane rows cost ~165 us
+    # (tools/glue_micro.py), and the training backward (the fully-packed
+    # ring-fix composition VJP) computes ext_strips(pack_batch(x)) on the
+    # SAME operands, so both the pack and the gather CSE-share across
+    # forward/backward.  (Two earlier orderings — ext-on-packed with an
+    # UNPACKED backward, and ext-on-unpacked-then-pack-strips — each paid
+    # an extra full gather somewhere; the history is in PERF.md.)
     p = _pack_factor(b, n, cin, cout, jnp.dtype(x.dtype).itemsize)
     if p > 1:
         x = packing.pack_batch(x, p)
-        ext = packing.pack_batch(ext, p)
         k_eq = packing.block_diag_taps(k_eq, p)
         k_pole = packing.block_diag_taps(k_pole, p)
         b_eq = jnp.tile(b_eq, (1, p))
         b_pole = jnp.tile(b_pole, (1, p))
         b, cin, cout = b // p, p * cin, p * cout
+    ext = ext_strips(x)  # (B, 6, 4, n+2, C) — corner ghosts included
     kernel = functools.partial(_kernel, n=n)
     flops = 2 * b * 6 * n * n * 9 * cin * cout
     out = pl.pallas_call(

@@ -106,30 +106,35 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
     # six-face call plus a polar correction conv); optionally batch->lane
     # packed (use_packed_base — see the contextvar note above).
     if _pack_base_enabled():
-        from dlwp_cs_tpu.ops import packing
+        # SAME pack factor (incl. the VMEM gate) as the fused Pallas
+        # forward dispatch: the training backward runs this composition on
+        # identical shapes, and only identical pack ops CSE-share.
+        from dlwp_cs_tpu.ops.pallas_conv import _pack_factor
 
-        p = packing.pack_factor(b, cin, k_eq.shape[-1])
+        p = _pack_factor(b, n, cin, k_eq.shape[-1],
+                         jnp.dtype(x.dtype).itemsize)
     else:
         p = 1
     if p > 1:
+        # FULLY packed composition: base convs, ghost-strip gather and fix
+        # contractions all run in the packed layout; one unpack at the end.
         from dlwp_cs_tpu.ops import packing
 
         xp = packing.pack_batch(x, p)
-        out = packing.unpack_batch(
-            jnp.concatenate(
-                [
-                    _same_conv(xp[:, :4], packing.block_diag_taps(k_eq, p)),
-                    _same_conv(xp[:, 4:], packing.block_diag_taps(k_pole, p)),
-                ],
-                axis=1,
-            ),
-            p,
+        out = jnp.concatenate(
+            [
+                _same_conv(xp[:, :4], packing.block_diag_taps(k_eq, p)),
+                _same_conv(xp[:, 4:], packing.block_diag_taps(k_pole, p)),
+            ],
+            axis=1,
         )
+        out = out + ring_term(xp, k_eq, k_pole, pack=p)
+        out = packing.unpack_batch(out, p)
     else:
         base_eq = _same_conv(x[:, :4], k_eq)
         base_po = _same_conv(x[:, 4:], k_pole)
         out = jnp.concatenate([base_eq, base_po], axis=1)
-    out = out + ring_term(x, k_eq, k_pole)
+        out = out + ring_term(x, k_eq, k_pole)
     return add_group_bias(out, bias_eq, bias_pole)
 
 
@@ -147,16 +152,29 @@ def add_group_bias(out, bias_eq, bias_pole):
     return out + bias.reshape(shape).astype(out.dtype)
 
 
-def ring_term(x, k_eq, k_pole):
+def ring_term(x, k_eq, k_pole, pack: int = 1):
     """The halo correction: everything of the CS conv except the per-face
     zero-padded SAME convs and the bias.  Split out so a decomposed
     backward can differentiate the SAME-conv part and this part separately
     (``cs_conv3x3_ringfix == same_convs + ring_term + bias``, pinned by the
-    equivalence tests)."""
-    b, nf, n, n2, cin = x.shape
+    equivalence tests).
+
+    ``pack > 1``: ``x`` is batch->lane PACKED (``(B/p, 6, n, n, p*Cin)`` —
+    ops.packing) while the kernels stay unpacked; the fix/corner taps get
+    the matching block structure and the output is packed ``p*Cout``.
+    Keeping the ghost-strip gather in the packed layout matters: gathering
+    rows of 32 lanes costs ~165 us at n=48 where full 128-lane rows are
+    ~free (tools/glue_micro.py)."""
+    b, nf, n, n2, pcin = x.shape
+    cin = k_eq.shape[2]
+    if pcin != pack * cin:
+        raise ValueError(
+            f"packed channels {pcin} != pack {pack} * kernel Cin {cin}"
+        )
 
     # corner-extended ghost strips: (B, 6, 4, n+2, C), positions 0 and
     # n+1 already the corner ghosts — one linear map, scatter-free VJP.
+    # Channel-agnostic: on packed x it equals the packed unpacked-strips.
     ext = ext_strips(x)
 
     # All four edges in ONE batched contraction per weight group: windows
@@ -166,17 +184,27 @@ def ring_term(x, k_eq, k_pole):
     win = jnp.stack(
         [ext[..., 0:n, :], ext[..., 1 : n + 1, :], ext[..., 2 : n + 2, :]],
         axis=-2,
-    )  # (B, 6, 4, n, 3, C)
-    win = win.reshape(b, 6, 4, n, 3 * cin)
+    )  # (B, 6, 4, n, 3, pC)
+    win = win.reshape(b, 6, 4, n, 3 * pcin)
+
+    eye_p = jnp.eye(pack, dtype=k_eq.dtype) if pack > 1 else None
 
     def edge_taps(k):
         # taps for [row 0 fix, row n-1 fix, col 0 fix, col n-1 fix] in the
         # EDGE_S, EDGE_N, EDGE_W, EDGE_E slot order of the strips tensor
-        return jnp.stack(
+        t = jnp.stack(
             [k[0].reshape(3 * cin, -1), k[2].reshape(3 * cin, -1),
              k[:, 0].reshape(3 * cin, -1), k[:, 2].reshape(3 * cin, -1)],
             axis=0,
         )  # (4, 3C, Cout)
+        if pack == 1:
+            return t
+        # packed win lane layout is (tap t, batch-slot i, ci): the tap
+        # matrix gets delta_ij block structure on BOTH sides
+        cout = t.shape[-1]
+        t = t.reshape(4, 3, cin, cout)
+        tb = jnp.einsum("ij,etcd->eticjd", eye_p, t)
+        return tb.reshape(4, 3 * pack * cin, pack * cout)
 
     def group_fix(win_g, taps_g):
         # (B, nf, 4, n, 3C) x (4, 3C, D) -> (4, B, nf, n, D)
@@ -198,11 +226,17 @@ def ring_term(x, k_eq, k_pole):
     se = ext[:, :, EDGE_S, n + 1]
     nw = ext[:, :, EDGE_N, 0]
     ne = ext[:, :, EDGE_N, n + 1]
-    corners = jnp.stack([sw, se, nw, ne], axis=0)  # (4, B, 6, C)
-    ck_eq = jnp.stack([k_eq[0, 0], k_eq[0, 2], k_eq[2, 0], k_eq[2, 2]], axis=0)
-    ck_po = jnp.stack(
-        [k_pole[0, 0], k_pole[0, 2], k_pole[2, 0], k_pole[2, 2]], axis=0
-    )
+    corners = jnp.stack([sw, se, nw, ne], axis=0)  # (4, B, 6, pC)
+
+    def corner_taps(k):
+        ck = jnp.stack([k[0, 0], k[0, 2], k[2, 0], k[2, 2]], axis=0)
+        if pack == 1:
+            return ck  # (4, C, Cout)
+        cb = jnp.einsum("ij,ecd->eicjd", eye_p, ck)
+        return cb.reshape(4, pack * cin, pack * ck.shape[-1])
+
+    ck_eq = corner_taps(k_eq)
+    ck_po = corner_taps(k_pole)
     c_eq = lax.dot_general(
         corners[:, :, :4], ck_eq.astype(corners.dtype),
         dimension_numbers=(((3,), (1,)), ((0,), (0,))),

@@ -174,36 +174,3 @@ class TestLosses:
         climo = jnp.zeros_like(t)
         acc = np.asarray(anomaly_correlation(t, t, climo))
         np.testing.assert_allclose(acc, 1.0, rtol=1e-5)
-
-
-def test_generic_path_packed_matches_unpacked():
-    """The generic XLA path's batch->lane packing (1x1 head and pad-path
-    convs) is the exact same linear map, grads included."""
-    import jax
-
-    from dlwp_cs_tpu.ops.ringfix import use_packed_base
-
-    rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.normal(size=(4, 6, 8, 8, 3)).astype(np.float32))
-    for kshape in ((1, 1, 3, 5), (3, 3, 3, 5)):
-        ke = jnp.asarray(rng.normal(size=kshape).astype(np.float32) * 0.2)
-        kp = jnp.asarray(rng.normal(size=kshape).astype(np.float32) * 0.2)
-        be = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
-
-        def f(v, a, b):
-            return cs_conv(v, a, b, bias_eq=be, bias_pole=be, backend="xla")
-
-        ref = f(x, ke, kp)
-        gref = jax.grad(lambda *a: jnp.sum(f(*a) ** 2), argnums=(0, 1, 2))(
-            x, ke, kp
-        )
-        with use_packed_base():
-            out = f(x, ke, kp)
-            gout = jax.grad(
-                lambda *a: jnp.sum(f(*a) ** 2), argnums=(0, 1, 2)
-            )(x, ke, kp)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
-        for a, b in zip(gout, gref):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-4)

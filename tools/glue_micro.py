@@ -100,6 +100,17 @@ def main() -> int:
     rows["head1x1"] = time_chain(
         lambda v: cs_conv(v, k1, k1, backend="xla"), arr(48, 32), t_over
     )
+
+    # ext-strips gather: unpacked (rows of 32 lanes) vs packed (rows of 128)
+    from dlwp_cs_tpu.ops.halo import ext_strips
+    from dlwp_cs_tpu.ops.packing import pack_batch
+
+    rows["ext48x32"] = time_chain(lambda v: ext_strips(v), arr(48, 32), t_over)
+    rows["extP48"] = time_chain(
+        lambda v: ext_strips(pack_batch(v, 4)), arr(48, 32), t_over
+    )
+    xp4 = pack_batch(arr(48, 32), 4)
+    rows["extPonly"] = time_chain(lambda v: ext_strips(v), xp4, t_over)
     for k, v in rows.items():
         print(f"{k:10s} {v * 1e6:7.1f} us", flush=True)
     return 0
