@@ -86,7 +86,9 @@ def main() -> int:
                 s, m = step(s, x, y)
                 return s, m["loss"]
 
-            packbase = bwd.endswith("+packbase")
+            # None = AUTO (the production default); the +packbase tag
+            # forces True for A/B against a forced-False row if added
+            packbase = True if bwd.endswith("+packbase") else None
             bwd_mode = bwd.replace("+packbase", "")
             with use_pallas_backward(bwd_mode), use_packed_base(packbase):
                 _, losses = lax.scan(body, state, None, length=CHAIN)
