@@ -57,7 +57,35 @@ class CubeSphereUNet(nn.Module):
                 f"face size {n} not divisible by 2**{depth - 1} for {depth} levels"
             )
 
+        def block_pack_factor(h, features) -> int:
+            # One batch->lane pack region per conv block (ops.packing): the
+            # convs AND the activation between them run packed, sharing a
+            # single pack/unpack pair — XLA does not cancel the relayouts
+            # between per-conv packing regions (conv-relu-conv measured at
+            # 2.46x a single conv; tools/kernel_variants.py --chain).  Same
+            # trace-time gate as every other packing site; only the fused
+            # 3x3 path benefits, so other configurations stay unpacked.
+            if tuple(cfg.kernel_size) != (3, 3) or cfg.conv_backend not in (
+                "auto", "pallas", "pallas_interpret", "ringfix"
+            ):
+                return 1
+            from dlwp_cs_tpu.ops.ringfix import _pack_base_enabled
+
+            if not _pack_base_enabled():
+                return 1
+            from dlwp_cs_tpu.ops.pallas_conv import _pack_factor
+
+            c_max = max(h.shape[-1], features)
+            return _pack_factor(
+                h.shape[0], h.shape[-2], c_max, c_max, jnp.dtype(dtype).itemsize
+            )
+
         def conv_block(h, features, name):
+            p = block_pack_factor(h, features)
+            if p > 1:
+                from dlwp_cs_tpu.ops.packing import pack_batch
+
+                h = pack_batch(h, p)
             for i in range(cfg.convs_per_block):
                 h = CubeSphereConv2D(
                     features=features,
@@ -65,9 +93,14 @@ class CubeSphereUNet(nn.Module):
                     separate_polar_weights=cfg.separate_polar_weights,
                     backend=cfg.conv_backend,
                     dtype=dtype,
+                    lane_pack=p,
                     name=f"{name}_conv{i}",
                 )(h)
                 h = act(h)
+            if p > 1:
+                from dlwp_cs_tpu.ops.packing import unpack_batch
+
+                h = unpack_batch(h, p)
             return h
 
         x = x.astype(dtype)

@@ -136,3 +136,32 @@ class TestRegistry:
         x = jnp.zeros((1, 6, 8, 8, 3))
         params, out = _init_and_apply(model, x)
         assert out.shape == (1, 6, 8, 8, 2)
+
+
+def test_unet_block_lane_packing_equivalence():
+    """Packed-resident conv blocks (lane_pack) are the exact same network:
+    forward and grads match the unpacked trace with identical params."""
+    import jax
+
+    from dlwp_cs_tpu.ops.ringfix import use_packed_base
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 6, 8, 8, 7)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(4, 6, 8, 8, 4)).astype(np.float32))
+    model = CubeSphereUNet(UNetConfig(output_channels=4, filters=(4, 8)))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, v):
+        return jnp.mean((model.apply(p, v) - y) ** 2)
+
+    with use_packed_base(False):
+        ref = model.apply(params, x)
+        gref = jax.grad(loss)(params, x)
+    with use_packed_base(True):
+        out = model.apply(params, x)
+        gout = jax.grad(loss)(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gout), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

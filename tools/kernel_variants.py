@@ -361,5 +361,43 @@ def main() -> int:
     return 0
 
 
+def chain_experiment():
+    """Does XLA cancel unpack->relu->pack between consecutive packed convs?
+
+    conv-relu-conv vs 2x single-conv time: if the chain costs ~2x a single
+    conv, the boundary transposes are NOT cancelled and a packed-resident
+    model still has them on the table.
+    """
+    import jax
+
+    from dlwp_cs_tpu.ops.pallas_conv import cs_conv3x3_pallas
+
+    trivial = jax.jit(lambda v: v + 1.0)
+    float(trivial(jnp.zeros(())))
+    t_over = min(_wall(lambda: float(trivial(jnp.zeros(())))) for _ in range(5))
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(B, 6, N, N, C)), dtype=dt)
+    ke = jnp.asarray(rng.normal(size=(3, 3, C, C)) * 0.2, dtype=dt)
+    kp = jnp.asarray(rng.normal(size=(3, 3, C, C)) * 0.2, dtype=dt)
+    zb = jnp.zeros((C,), dt)
+
+    def single(v):
+        return cs_conv3x3_pallas(v, ke, kp, zb, zb, False)
+
+    def chain2(v):
+        h = jax.nn.leaky_relu(single(v), 0.1)
+        return single(h)
+
+    t1 = time_chain(single, x, t_over)
+    t2 = time_chain(chain2, x, t_over)
+    print(f"single conv {t1 * 1e6:7.1f} us   conv-relu-conv {t2 * 1e6:7.1f} us"
+          f"   ratio {t2 / t1:.2f} (2.0 = no transpose cancellation)",
+          flush=True)
+
+
 if __name__ == "__main__":
+    if "--chain" in sys.argv:
+        chain_experiment()
+        sys.exit(0)
     sys.exit(main())
