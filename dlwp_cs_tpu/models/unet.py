@@ -57,14 +57,18 @@ class CubeSphereUNet(nn.Module):
                 f"face size {n} not divisible by 2**{depth - 1} for {depth} levels"
             )
 
-        def block_pack_factor(h, features) -> int:
-            # One batch->lane pack region per conv block (ops.packing): the
-            # convs AND the activation between them run packed, sharing a
-            # single pack/unpack pair — XLA does not cancel the relayouts
-            # between per-conv packing regions (conv-relu-conv measured at
-            # 2.46x a single conv; tools/kernel_variants.py --chain).  Same
-            # trace-time gate as every other packing site; only the fused
-            # 3x3 path benefits, so other configurations stay unpacked.
+        from dlwp_cs_tpu.ops.packing import pack_batch, unpack_batch
+
+        b0 = x.shape[0]  # logical (unpacked) batch
+
+        def block_pack_factor(c_in: int, features: int, n_level: int) -> int:
+            # Batch->lane pack regions (ops.packing): convs, activations and
+            # pooling run packed; repacks happen only at level transitions —
+            # XLA does not cancel the relayouts between per-conv packing
+            # regions (conv-relu-conv measured at 2.46x a single conv;
+            # tools/kernel_variants.py --chain).  Same trace-time gate as
+            # every other packing site; only the fused 3x3 path benefits, so
+            # other configurations stay unpacked.
             if tuple(cfg.kernel_size) != (3, 3) or cfg.conv_backend not in (
                 "auto", "pallas", "pallas_interpret", "ringfix"
             ):
@@ -75,17 +79,20 @@ class CubeSphereUNet(nn.Module):
                 return 1
             from dlwp_cs_tpu.ops.pallas_conv import _pack_factor
 
-            c_max = max(h.shape[-1], features)
+            c_max = max(c_in, features)
             return _pack_factor(
-                h.shape[0], h.shape[-2], c_max, c_max, jnp.dtype(dtype).itemsize
+                b0, n_level, c_max, c_max, jnp.dtype(dtype).itemsize
             )
 
-        def conv_block(h, features, name):
-            p = block_pack_factor(h, features)
-            if p > 1:
-                from dlwp_cs_tpu.ops.packing import pack_batch
+        def repack(h, p_from: int, p_to: int):
+            if p_from != p_to and p_from > 1:
+                h = unpack_batch(h, p_from)
+            if p_from != p_to and p_to > 1:
+                h = pack_batch(h, p_to)
+            return h
 
-                h = pack_batch(h, p)
+        def conv_block(h, features, name, p: int):
+            # h enters/leaves packed with factor p (p == 1: plain layout)
             for i in range(cfg.convs_per_block):
                 h = CubeSphereConv2D(
                     features=features,
@@ -97,26 +104,42 @@ class CubeSphereUNet(nn.Module):
                     name=f"{name}_conv{i}",
                 )(h)
                 h = act(h)
-            if p > 1:
-                from dlwp_cs_tpu.ops.packing import unpack_batch
-
-                h = unpack_batch(h, p)
             return h
 
         x = x.astype(dtype)
-        # Encoder
+        # Encoder: one pack region per level, pooling included; skips are
+        # stored packed with their level's factor
         skips = []
+        cin = x.shape[-1]
+        p = 1
         for level, feats in enumerate(cfg.filters[:-1]):
-            x = conv_block(x, feats, f"enc{level}")
-            skips.append(x)
+            p_new = block_pack_factor(cin, feats, x.shape[-2])
+            x = repack(x, p, p_new)
+            p = p_new
+            x = conv_block(x, feats, f"enc{level}", p)
+            skips.append((x, p))
             x = pool(x, 2)
+            cin = feats
         # Bottleneck
-        x = conv_block(x, cfg.filters[-1], f"enc{depth - 1}")
-        # Decoder
+        p_new = block_pack_factor(cin, cfg.filters[-1], x.shape[-2])
+        x = repack(x, p, p_new)
+        p = p_new
+        x = conv_block(x, cfg.filters[-1], f"enc{depth - 1}", p)
+        x = repack(x, p, 1)
+        # Decoder (unpacked between stages: skip concats mix channel counts
+        # whose packed layouts differ; the blocks pack themselves)
         for level in range(depth - 2, -1, -1):
             x = cs_upsample(x, 2, method=cfg.upsample)
-            x = jnp.concatenate([x, skips[level]], axis=-1)
-            x = conv_block(x, cfg.filters[level], f"dec{level}")
+            skip, skip_p = skips[level]
+            if skip_p > 1:
+                skip = unpack_batch(skip, skip_p)
+            x = jnp.concatenate([x, skip], axis=-1)
+            p_dec = block_pack_factor(
+                x.shape[-1], cfg.filters[level], x.shape[-2]
+            )
+            x = repack(x, 1, p_dec)
+            x = conv_block(x, cfg.filters[level], f"dec{level}", p_dec)
+            x = repack(x, p_dec, 1)
         # Linear output head
         out = CubeSphereConv2D(
             features=cfg.output_channels,
