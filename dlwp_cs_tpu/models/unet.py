@@ -91,9 +91,20 @@ class CubeSphereUNet(nn.Module):
                 h = pack_batch(h, p_to)
             return h
 
-        def conv_block(h, features, name, p: int):
-            # h enters/leaves packed with factor p (p == 1: plain layout)
+        def conv_block(h, c_in, features, name, p: int):
+            # h enters packed with factor p (p == 1: plain layout).  The pack
+            # factor is chosen PER CONV, not per block: a decoder block's
+            # first conv sees the wide skip-concat input (96/192 lanes,
+            # unpackable), but its second conv is back at the level's small
+            # channel count where packing measured 2.1x per conv even
+            # including the boundary relayouts (PERF.md).  Returns
+            # ``(h, p_out)`` so the caller continues in the final layout.
             for i in range(cfg.convs_per_block):
+                p_i = block_pack_factor(
+                    c_in if i == 0 else features, features, h.shape[-2]
+                )
+                h = repack(h, p, p_i)
+                p = p_i
                 h = CubeSphereConv2D(
                     features=features,
                     kernel_size=cfg.kernel_size,
@@ -104,7 +115,7 @@ class CubeSphereUNet(nn.Module):
                     name=f"{name}_conv{i}",
                 )(h)
                 h = act(h)
-            return h
+            return h, p
 
         x = x.astype(dtype)
         # Encoder: one pack region per level, pooling included; skips are
@@ -113,32 +124,26 @@ class CubeSphereUNet(nn.Module):
         cin = x.shape[-1]
         p = 1
         for level, feats in enumerate(cfg.filters[:-1]):
-            p_new = block_pack_factor(cin, feats, x.shape[-2])
-            x = repack(x, p, p_new)
-            p = p_new
-            x = conv_block(x, feats, f"enc{level}", p)
+            x, p = conv_block(x, cin, feats, f"enc{level}", p)
             skips.append((x, p))
             x = pool(x, 2)
             cin = feats
         # Bottleneck
-        p_new = block_pack_factor(cin, cfg.filters[-1], x.shape[-2])
-        x = repack(x, p, p_new)
-        p = p_new
-        x = conv_block(x, cfg.filters[-1], f"enc{depth - 1}", p)
+        x, p = conv_block(x, cin, cfg.filters[-1], f"enc{depth - 1}", p)
         x = repack(x, p, 1)
         # Decoder (unpacked between stages: skip concats mix channel counts
-        # whose packed layouts differ; the blocks pack themselves)
+        # whose packed layouts differ; the blocks pack themselves — the
+        # second conv of each block repacks to the level's small-channel
+        # factor even though the concat-fed first conv cannot)
         for level in range(depth - 2, -1, -1):
             x = cs_upsample(x, 2, method=cfg.upsample)
             skip, skip_p = skips[level]
             if skip_p > 1:
                 skip = unpack_batch(skip, skip_p)
             x = jnp.concatenate([x, skip], axis=-1)
-            p_dec = block_pack_factor(
-                x.shape[-1], cfg.filters[level], x.shape[-2]
+            x, p_dec = conv_block(
+                x, x.shape[-1], cfg.filters[level], f"dec{level}", 1
             )
-            x = repack(x, 1, p_dec)
-            x = conv_block(x, cfg.filters[level], f"dec{level}", p_dec)
             x = repack(x, p_dec, 1)
         # Linear output head
         out = CubeSphereConv2D(

@@ -138,7 +138,17 @@ class TestRegistry:
         assert out.shape == (1, 6, 8, 8, 2)
 
 
-def test_unet_block_lane_packing_equivalence():
+@pytest.mark.parametrize(
+    "batch,filters",
+    [
+        (4, (4, 8)),
+        # flagship-like channel ratios: the decoder block's concat-fed first
+        # conv packs less than its second conv, exercising the mid-block
+        # repack path (dec0 input 36ch -> p=2, second conv 4ch -> p=8)
+        (8, (4, 32)),
+    ],
+)
+def test_unet_block_lane_packing_equivalence(batch, filters):
     """Packed-resident conv blocks (lane_pack) are the exact same network:
     forward and grads match the unpacked trace with identical params."""
     import jax
@@ -146,9 +156,9 @@ def test_unet_block_lane_packing_equivalence():
     from dlwp_cs_tpu.ops.ringfix import use_packed_base
 
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.normal(size=(4, 6, 8, 8, 7)).astype(np.float32))
-    y = jnp.asarray(rng.normal(size=(4, 6, 8, 8, 4)).astype(np.float32))
-    model = CubeSphereUNet(UNetConfig(output_channels=4, filters=(4, 8)))
+    x = jnp.asarray(rng.normal(size=(batch, 6, 8, 8, 7)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(batch, 6, 8, 8, 4)).astype(np.float32))
+    model = CubeSphereUNet(UNetConfig(output_channels=4, filters=filters))
     params = model.init(jax.random.PRNGKey(0), x)
 
     def loss(p, v):
