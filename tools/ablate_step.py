@@ -69,8 +69,13 @@ def main() -> int:
     from dlwp_cs_tpu.ops.pallas_conv import use_pallas_backward
 
     results = {}
-    variants = [(b, "xla") for b in ("auto", "same", "pallas", "ringfix")]
-    variants += [("auto", "xla+packbase")]
+    # Default to the two rows that answer "where do the milliseconds go"
+    # (full default path vs halo-free bound); each extra variant costs
+    # minutes of remote compile in this environment, so the rest is opt-in.
+    variants = [(b, "xla") for b in ("auto", "same")]
+    if "--backends" in sys.argv or "--all" in sys.argv:
+        variants += [(b, "xla") for b in ("pallas", "ringfix")]
+        variants += [("auto", "xla+packbase")]
     if "--all" in sys.argv:
         # measured-dead backward modes (PERF.md): compile-expensive, opt-in
         variants += [("pallas", "hybrid"), ("pallas", "fused")]
