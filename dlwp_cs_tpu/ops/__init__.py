@@ -3,6 +3,7 @@
 from dlwp_cs_tpu.ops.conv import conv_halo_width, cs_conv
 from dlwp_cs_tpu.ops.latlon import latlon_conv, periodic_pad
 from dlwp_cs_tpu.ops.losses import (
+    AreaWeightedLoss,
     anomaly_correlation,
     latitude_weighted_loss,
     latitude_weights,
@@ -15,6 +16,7 @@ from dlwp_cs_tpu.ops.padding import PaddingPlan, cs_pad, padding_plan
 from dlwp_cs_tpu.ops.pooling import cs_avg_pool, cs_max_pool, cs_upsample
 
 __all__ = [
+    "AreaWeightedLoss",
     "conv_halo_width",
     "cs_conv",
     "latlon_conv",

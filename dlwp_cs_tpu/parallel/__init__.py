@@ -1,9 +1,11 @@
 """Distributed execution: meshes, shardings, halo exchange, sharded steps."""
 
 from dlwp_cs_tpu.parallel.halo import make_sharded_pad, sharded_cs_pad
+from dlwp_cs_tpu.parallel.halo2d import make_sharded_pad_2d, sharded_cs_pad_2d
 from dlwp_cs_tpu.parallel.mesh import (
     DATA_AXIS,
     SPATIAL_AXIS,
+    SPATIAL_X_AXIS,
     batch_sharding,
     batch_spatial_sharding,
     create_mesh,
@@ -27,8 +29,11 @@ from dlwp_cs_tpu.parallel.sharding import (
 __all__ = [
     "make_sharded_pad",
     "sharded_cs_pad",
+    "make_sharded_pad_2d",
+    "sharded_cs_pad_2d",
     "DATA_AXIS",
     "SPATIAL_AXIS",
+    "SPATIAL_X_AXIS",
     "batch_sharding",
     "batch_spatial_sharding",
     "create_mesh",

@@ -36,6 +36,9 @@ tests/test_parallel.py (1-device vs 8-device allclose — SURVEY.md §4.4).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -44,7 +47,33 @@ from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
 from dlwp_cs_tpu.ops.padding import padding_plan
 from dlwp_cs_tpu.parallel.mesh import SPATIAL_AXIS
 
-__all__ = ["halo_pieces", "make_sharded_pad", "sharded_cs_pad"]
+__all__ = [
+    "halo_pieces",
+    "make_sharded_pad",
+    "sharded_cs_pad",
+    "use_band_exchange",
+]
+
+# Trace-time selection of the band-row transport: "ppermute" (XLA
+# collective, default), "rdma" (in-kernel Pallas async remote copy —
+# parallel.rdma_halo), or "rdma_interpret" (same kernel under the TPU
+# interpreter, for CPU-mesh equivalence tests).
+_BAND_IMPL: contextvars.ContextVar = contextvars.ContextVar(
+    "cs_band_exchange", default="ppermute"
+)
+_BAND_IMPLS = ("ppermute", "rdma", "rdma_interpret")
+
+
+@contextlib.contextmanager
+def use_band_exchange(impl: str):
+    """Within this context, band-row halo transfers TRACE with ``impl``."""
+    if impl not in _BAND_IMPLS:
+        raise ValueError(f"unknown band exchange {impl!r}; want {_BAND_IMPLS}")
+    token = _BAND_IMPL.set(impl)
+    try:
+        yield
+    finally:
+        _BAND_IMPL.reset(token)
 
 
 def _check_topology(table):
@@ -137,10 +166,22 @@ def halo_pieces(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: int):
         return jnp.swapaxes(jnp.flip(x[:, f, :, n - w :], axis=2), 1, 2)
 
     # ---- collective 1+2: band rows from neighbor shards (nearest-neighbor)
-    fwd = [(i, (i + 1) % S) for i in range(S)]
-    bwd = [(i, (i - 1) % S) for i in range(S)]
-    below = lax.ppermute(x[:, :, h - w :], axis_name, perm=fwd)  # my bottom halo
-    above = lax.ppermute(x[:, :, :w], axis_name, perm=bwd)  # my top halo
+    band_impl = _BAND_IMPL.get()
+    if band_impl == "ppermute" or S == 1:
+        fwd = [(i, (i + 1) % S) for i in range(S)]
+        bwd = [(i, (i - 1) % S) for i in range(S)]
+        below = lax.ppermute(x[:, :, h - w :], axis_name, perm=fwd)
+        above = lax.ppermute(x[:, :, :w], axis_name, perm=bwd)
+    else:  # in-kernel Pallas RDMA (parallel.rdma_halo)
+        from dlwp_cs_tpu.parallel.rdma_halo import band_exchange_rdma
+
+        below, above = band_exchange_rdma(
+            x,
+            w,
+            axis_name=axis_name,
+            n_shards=S,
+            interpret=band_impl == "rdma_interpret",
+        )
 
     # ---- collective 3: psum broadcast of the 4 polar-seam boundary rows.
     # Slots: [1S, 3S, 1N, 3N]; exactly one shard contributes each.

@@ -30,29 +30,37 @@ __all__ = [
     "replicated",
     "DATA_AXIS",
     "SPATIAL_AXIS",
+    "SPATIAL_X_AXIS",
 ]
 
 DATA_AXIS = "data"
-SPATIAL_AXIS = "spatial"
+SPATIAL_AXIS = "spatial"  # face-row (eta) decomposition
+SPATIAL_X_AXIS = "spatial_x"  # face-column (xi) decomposition (2-D tiling)
 
 
 def create_mesh(
-    data: int | None = None, spatial: int = 1, *, devices=None
+    data: int | None = None, spatial: int = 1, spatial_x: int = 1, *, devices=None
 ) -> Mesh:
-    """Create the canonical ``('data', 'spatial')`` mesh.
+    """Create the canonical ``('data', 'spatial'[, 'spatial_x'])`` mesh.
 
-    ``data=None`` uses all remaining devices.  ``spatial`` must divide the
-    face size being sharded (checked when a halo plan is built).
+    ``data=None`` uses all remaining devices.  ``spatial`` (face rows) and
+    ``spatial_x`` (face columns) must divide the face size being sharded
+    (checked when a halo plan is built).  A third mesh axis is only created
+    when ``spatial_x > 1``, so 1-D paths see the familiar 2-axis mesh.
     """
     devices = jax.devices() if devices is None else list(devices)
     n = len(devices)
+    sp = spatial * spatial_x
     if data is None:
-        if n % spatial:
-            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
-        data = n // spatial
-    if data * spatial > n:
-        raise ValueError(f"mesh {data}x{spatial} needs {data * spatial} devices, have {n}")
-    grid = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+        if n % sp:
+            raise ValueError(f"{n} devices not divisible by spatial={sp}")
+        data = n // sp
+    if data * sp > n:
+        raise ValueError(f"mesh {data}x{sp} needs {data * sp} devices, have {n}")
+    if spatial_x > 1:
+        grid = np.asarray(devices[: data * sp]).reshape(data, spatial, spatial_x)
+        return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS, SPATIAL_X_AXIS))
+    grid = np.asarray(devices[: data * sp]).reshape(data, spatial)
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
@@ -62,15 +70,18 @@ def batch_sharding(mesh: Mesh, ndim: int = 5) -> NamedSharding:
 
 
 def batch_spatial_sharding(mesh: Mesh, ndim: int = 5) -> NamedSharding:
-    """Shard batch over 'data' and the face-row axis over 'spatial'.
+    """Shard batch over 'data' and the face-row axis over 'spatial'
+    (plus face columns over 'spatial_x' when the mesh carries that axis).
 
     Canonical activation layout ``(B, 6, H, W, C)``: axis 2 (H / eta rows)
-    carries the domain decomposition.
+    and axis 3 (W / xi columns) carry the domain decomposition.
     """
     spec = [None] * ndim
     spec[0] = DATA_AXIS
     if ndim >= 3:
         spec[2] = SPATIAL_AXIS
+    if ndim >= 4 and SPATIAL_X_AXIS in mesh.shape:
+        spec[3] = SPATIAL_X_AXIS
     return NamedSharding(mesh, P(*spec))
 
 

@@ -16,7 +16,6 @@ Capability parity with the reference's ``model.compile(...)`` +
 from __future__ import annotations
 
 from collections.abc import Callable
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from dlwp_cs_tpu.models.config import TrainConfig
-from dlwp_cs_tpu.ops.losses import mae, mse, weighted_mae, weighted_mse
+from dlwp_cs_tpu.ops.losses import AreaWeightedLoss, mae, mse
 
 __all__ = [
     "TrainState",
@@ -96,12 +95,9 @@ def make_loss_fn(cfg: TrainConfig, area_weights=None) -> Callable:
     if cfg.area_weighted_loss:
         if area_weights is None:
             raise ValueError("area_weighted_loss=True requires area_weights")
-        w = jnp.asarray(area_weights)
-        return (
-            partial(weighted_mse, weights=w)
-            if cfg.loss == "mse"
-            else partial(weighted_mae, weights=w)
-        )
+        # AreaWeightedLoss also carries the local_terms protocol, so the
+        # same Trainer config works under the spatially sharded step.
+        return AreaWeightedLoss(cfg.loss, area_weights)
     return mse if cfg.loss == "mse" else mae
 
 

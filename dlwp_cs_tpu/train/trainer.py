@@ -156,6 +156,11 @@ class Trainer:
             raise ValueError("profile_steps requires a workdir for the trace")
         self.profile_steps = profile_steps
         self._epochs_done = 0  # set by restore_or_init on resume
+        # Early-stopping state spans the WHOLE run (across restarts): fit
+        # reuses this stopper when set; restore_or_init rebuilds it from the
+        # checkpoint extras so a resumed run honors the full-run best/patience
+        # contract (the reference's restore_best_weights semantics).
+        self.stopper: EarlyStoppingMin | None = None
         self.history = History()
         self._metrics_file = None
         if self.workdir is not None:
@@ -174,15 +179,21 @@ class Trainer:
         The fail-stop recovery story (SURVEY.md §5.3): a crashed run is
         restarted with the same command and picks up at its last periodic
         checkpoint — restoration is idempotent by step.  The completed-epoch
-        count rides in the checkpoint extras, so the resumed ``fit`` trains
-        only the REMAINING epochs of ``max_epochs`` and logs/checkpoints
-        continue at the global epoch index (the early-stopping best/patience
-        window restarts — only the floor is honored across restarts).
+        count AND the early-stopping state (best value, patience counter,
+        best-params snapshot) ride in the checkpoint, so the resumed ``fit``
+        trains only the REMAINING epochs of ``max_epochs``, continues logs/
+        checkpoints at the global epoch index, and stops/restores exactly as
+        the uninterrupted run would (the reference's whole-run
+        restore-best-weights semantics — VERDICT r2 weak #5).
         """
         template = self.init(sample_inputs, seed)
         if self.workdir is None:
             return template
-        from dlwp_cs_tpu.utils.checkpoint import latest_step, restore_checkpoint
+        from dlwp_cs_tpu.utils.checkpoint import (
+            latest_step,
+            restore_aux,
+            restore_checkpoint,
+        )
 
         ckpt_dir = self.workdir / "checkpoints"
         if latest_step(ckpt_dir) is None:
@@ -190,6 +201,23 @@ class Trainer:
         state, extras = restore_checkpoint(ckpt_dir, template)
         if extras:
             self._epochs_done = int(extras.get("epochs_done", 0))
+            es = extras.get("early_stopping")
+            if es is not None:
+                self.stopper = EarlyStoppingMin(
+                    patience=self.cfg.early_stopping_patience,
+                    min_epochs=self.cfg.min_epochs,
+                    best=(
+                        float(es["best"])
+                        if es.get("best") is not None
+                        else float("inf")
+                    ),
+                    wait=int(es.get("wait", 0)),
+                )
+                if es.get("has_best_params"):
+                    host_params = jax.tree.map(np.asarray, template.params)
+                    self.stopper.best_params = restore_aux(
+                        ckpt_dir, int(es["ckpt_step"]), "best_params", host_params
+                    )
         return state
 
     def _get_fused_step(self):
@@ -221,7 +249,14 @@ class Trainer:
             self._metrics_file.write(json.dumps(record) + "\n")
             self._metrics_file.flush()
 
-    def _checkpoint(self, state: TrainState, *, step: int, epochs_done: int) -> None:
+    def _checkpoint(
+        self,
+        state: TrainState,
+        *,
+        step: int,
+        epochs_done: int,
+        stopper: "EarlyStoppingMin | None" = None,
+    ) -> None:
         # Keyed by the GLOBAL optimizer step (monotone across restarts):
         # keying by the per-run epoch index made a resumed run overwrite its
         # low-numbered checkpoints while latest_step kept selecting the
@@ -230,11 +265,25 @@ class Trainer:
             return
         from dlwp_cs_tpu.utils.checkpoint import save_checkpoint
 
+        extras: dict = {"epochs_done": epochs_done}
+        aux = None
+        if stopper is not None:
+            extras["early_stopping"] = {
+                # None encodes +inf (strict-JSON safe)
+                "best": stopper.best if np.isfinite(stopper.best) else None,
+                "wait": stopper.wait,
+                "has_best_params": stopper.best_params is not None,
+                "ckpt_step": step,
+            }
+            # The best-params snapshot is already host-resident (numpy), so
+            # this is a disk write, not a device sync.
+            aux = {"best_params": stopper.best_params}
         save_checkpoint(
             self.workdir / "checkpoints",
             state,
             step=step,
-            extras={"epochs_done": epochs_done},
+            extras=extras,
+            aux=aux,
         )
 
     # -- main loop ---------------------------------------------------------
@@ -252,9 +301,11 @@ class Trainer:
         iterables)."""
         cfg = self.cfg
         epochs = cfg.max_epochs if epochs is None else epochs
-        stopper = EarlyStoppingMin(
-            patience=cfg.early_stopping_patience, min_epochs=cfg.min_epochs
-        )
+        if self.stopper is None:
+            self.stopper = EarlyStoppingMin(
+                patience=cfg.early_stopping_patience, min_epochs=cfg.min_epochs
+            )
+        stopper = self.stopper  # spans restarts — see restore_or_init
         # Host-side step counter: reading int(state.step) every step would be
         # a hidden device sync (the step counter lives on-device).
         gstep = int(state.step)
@@ -396,8 +447,6 @@ class Trainer:
                 if val_loss is not None:
                     msg += f" val_loss={val_loss:.6f}"
                 print(msg + f" ({dt:.1f}s)")
-            if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
-                self._checkpoint(state, step=gstep, epochs_done=epoch + 1)
             monitored = train_loss if val_loss is None else val_loss
             # Snapshot params to HOST memory before tracking as "best": the
             # jitted train step donates its state, so the device buffers of
@@ -411,7 +460,15 @@ class Trainer:
                 best_candidate = lambda: jax.tree.map(np.asarray, state.params)
             else:
                 best_candidate = None
-            if stopper.update(epoch, monitored, best_candidate):
+            # Stopper updates BEFORE the checkpoint so the persisted
+            # early-stopping state includes this epoch (a resumed run sees
+            # exactly what the uninterrupted run would have).
+            should_stop = stopper.update(epoch, monitored, best_candidate)
+            if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+                self._checkpoint(
+                    state, step=gstep, epochs_done=epoch + 1, stopper=stopper
+                )
+            if should_stop:
                 if verbose:
                     print(f"early stopping at epoch {epoch} (best={stopper.best:.6f})")
                 break

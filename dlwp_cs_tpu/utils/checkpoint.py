@@ -21,6 +21,7 @@ __all__ = [
     "save_checkpoint",
     "wait_for_checkpoints",
     "restore_checkpoint",
+    "restore_aux",
     "latest_step",
     "save_json",
     "load_json",
@@ -42,7 +43,13 @@ def _async_checkpointer() -> ocp.AsyncCheckpointer:
 
 
 def save_checkpoint(
-    path, state, *, step: int, extras: dict | None = None, background: bool = False
+    path,
+    state,
+    *,
+    step: int,
+    extras: dict | None = None,
+    background: bool = False,
+    aux: dict[str, Any] | None = None,
 ) -> Path:
     """Write ``state`` (any pytree) under ``path/step_{step}``; returns dir.
 
@@ -50,6 +57,10 @@ def save_checkpoint(
     device buffers are snapshotted and the write proceeds off the critical
     path; call :func:`wait_for_checkpoints` (or save again) before relying
     on the files.
+
+    ``aux``: optional named side pytrees written under ``step_{step}/<name>``
+    (e.g. the early stopper's best-params snapshot); ``None`` values are
+    skipped.  Restore them with :func:`restore_aux`.
     """
     root = _root(path)
     root.mkdir(parents=True, exist_ok=True)
@@ -61,6 +72,13 @@ def save_checkpoint(
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(target / "state", state, force=True)
+    if aux:
+        with ocp.StandardCheckpointer() as ckptr:
+            for name, tree in aux.items():
+                if name in ("state", "extras.json"):
+                    raise ValueError(f"reserved aux name {name!r}")
+                if tree is not None:
+                    ckptr.save(target / name, tree, force=True)
     if extras is not None:
         save_json(target / "extras.json", extras)
     return target
@@ -98,6 +116,16 @@ def restore_checkpoint(path, target_state, *, step: int | None = None):
             f"all checkpoints under {root} failed to restore"
         ) from last_err
     return _restore_step(root / f"step_{step}", target_state)
+
+
+def restore_aux(path, step: int, name: str, template):
+    """Restore an ``aux`` pytree saved next to ``step``'s state, or ``None``
+    if that checkpoint carries no such tree."""
+    target = _root(path) / f"step_{step}" / name
+    if not target.exists():
+        return None
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(target, template)
 
 
 def _restore_step(target: Path, target_state):

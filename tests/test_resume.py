@@ -92,3 +92,55 @@ def test_resume_trains_only_remaining_epochs(tmp_path):
     t3 = Trainer(model, cfg, workdir=tmp_path)
     s3 = t3.fit(t3.restore_or_init(x), [(x, y)], verbose=False)
     assert int(s3.step) == int(s2.step)  # nothing left to train
+
+
+def test_early_stopping_state_survives_resume(tmp_path):
+    """VERDICT r2 weak #5: a resumed run must honor the WHOLE-run early
+    stopping contract — stop where the uninterrupted run stops, and restore
+    the pre-crash best weights (not just the post-resume best)."""
+    import jax
+
+    model = CubeSphereUNet(UNetConfig(output_channels=2, filters=(4,)))
+
+    def make_cfg():
+        return TrainConfig(
+            learning_rate=5.0,  # diverges: the best epoch is an early one
+            max_epochs=8,
+            min_epochs=0,
+            early_stopping_patience=2,
+            restore_best_weights=True,
+            checkpoint_every_epochs=1,
+        )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 6, N, N, 3)).astype(np.float32))
+    y = 0.5 * x[..., :2]
+    data = [(x, y)]
+    val = [(x, y)]
+
+    # --- run A: uninterrupted ---------------------------------------------
+    ta = Trainer(model, make_cfg(), workdir=tmp_path / "a")
+    sa = ta.fit(ta.restore_or_init(x), data, val_data=val, verbose=False)
+    epochs_a = len(ta.history.epochs)
+    assert epochs_a < 8, "test needs early stopping to trigger"
+    best_a = ta.stopper.best
+
+    # --- run B: crash after 2 epochs, resume ------------------------------
+    tb1 = Trainer(model, make_cfg(), workdir=tmp_path / "b")
+    tb1.fit(tb1.restore_or_init(x), data, val_data=val, verbose=False, epochs=2)
+    tb2 = Trainer(model, make_cfg(), workdir=tmp_path / "b")
+    sb = tb2.restore_or_init(x)
+    # stopper state restored from the checkpoint, including the best snapshot
+    assert tb2.stopper is not None
+    assert tb2.stopper.best == ta.history.epochs[1]["val_loss"] or np.isclose(
+        tb2.stopper.best, min(r["val_loss"] for r in ta.history.epochs[:2])
+    )
+    assert tb2.stopper.best_params is not None
+    sb = tb2.fit(sb, data, val_data=val, verbose=False)
+
+    # resumed run stops at the same global epoch with the same best value
+    assert 2 + len(tb2.history.epochs) == epochs_a
+    assert np.isclose(tb2.stopper.best, best_a)
+    # and the restored-best final params match the uninterrupted run's
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-6)

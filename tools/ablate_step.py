@@ -1,11 +1,18 @@
 """Perf ablation of the flagship train step: where do the milliseconds go?
 
-Measures (chained-scan methodology, PERF.md):
-  fwd+bwd x {ringfix, same-conv-only}    -> cost of the halo machinery
-  fwd-only x {ringfix, same-conv-only}   -> fwd/bwd split
-All at the bench configuration (C48, (32,64,128), b=16, bf16).
+Default run (chained-scan methodology, PERF.md) measures TWO backends:
+  fwd+bwd x {auto, same-conv-only}    -> cost of the halo machinery
+  fwd-only x {auto, same-conv-only}   -> fwd/bwd split
+where ``auto`` is the production dispatch (packed Pallas forward + XLA
+composition backward) and ``same`` is the numerically-wrong halo-free lower
+bound.  All at the bench configuration (C48, (32,64,128), b=16, bf16).
 
-Run ON TPU: ``python tools/ablate_step.py``.
+Extra rows are opt-in (each costs minutes of remote compile):
+  ``--backends``  adds the pallas / ringfix backends and the +packbase A/B;
+  ``--all``       additionally adds the measured-dead pallas backward modes
+                  ("hybrid", "fused" — PERF.md).
+
+Run ON TPU: ``python tools/ablate_step.py [--backends|--all]``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,142 @@
+"""Backward decomposition micro-bench: where does the conv VJP spend time?
+
+The round-3 ablation (tools/ablate_step.py) puts the flagship step at
+~8.7 ms with 6.35 ms in backward+optimizer, of which ~4.9 ms is the
+halo-free base-conv VJP — the floor VERDICT r2 #1/#3 targets.  This tool
+times, per U-Net level shape, the pieces of that VJP:
+
+  fwd          packed SAME conv (the halo-free forward bound)
+  vjp(full)    full pullback (dx + dw + db)
+  vjp(dx)      input-cotangent only
+  vjp(dw)      weight-cotangent only
+in both the production packed layout and the unpacked one.
+
+Run ON TPU: ``python tools/bwd_micro.py``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dlwp_cs_tpu.ops import packing
+from dlwp_cs_tpu.ops.ringfix import _same_conv
+
+B, CHAIN, REPEATS = 16, 50, 5
+
+# (n, cin, cout) per U-Net level (encoder squares + decoder concat convs)
+SHAPES = [
+    (48, 32, 32),
+    (24, 64, 64),
+    (12, 128, 128),
+    (24, 192, 64),
+    (48, 96, 32),
+]
+
+
+def _wall(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    rng = np.random.default_rng(0)
+    trivial = jax.jit(lambda v: v + 1.0)
+    float(trivial(jnp.zeros(())))
+    t_over = min(_wall(lambda: float(trivial(jnp.zeros(())))) for _ in range(5))
+    print(f"platform={jax.devices()[0].platform} overhead={t_over * 1e3:.1f}ms")
+
+    def timed(fn, *args):
+        run = jax.jit(
+            lambda a: lax.scan(
+                lambda c, _: (
+                    jnp.mean(
+                        fn(a[0] + c.astype(a[0].dtype), *a[1:])
+                    ).astype(jnp.float32),
+                    None,
+                ),
+                jnp.zeros((), jnp.float32),
+                None,
+                length=CHAIN,
+            )[0]
+        )
+        float(run(args))
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(run(args))
+            best = min(best, time.perf_counter() - t0)
+        return max((best - t_over) / CHAIN, 1e-9) * 1e6  # us
+
+    for n, cin, cout in SHAPES:
+        x = jnp.asarray(
+            rng.normal(size=(B, 6, n, n, cin)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ke = jnp.asarray(
+            rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+        ).astype(jnp.bfloat16) * 0.05
+        g = jnp.asarray(
+            rng.normal(size=(B, 6, n, n, cout)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        p = packing.pack_factor(B, cin, cout)
+
+        def conv_unpacked(xx, kk):
+            return _same_conv(xx, kk)
+
+        def conv_packed(xx, kk):
+            if p == 1:
+                return _same_conv(xx, kk)
+            xp = packing.pack_batch(xx, p)
+            out = _same_conv(xp, packing.block_diag_taps(kk, p))
+            return packing.unpack_batch(out, p)
+
+        rows = {}
+        for tag, conv in (("unpacked", conv_unpacked), ("packed", conv_packed)):
+            rows[f"{tag}/fwd"] = timed(lambda xx: conv(xx, ke), x)
+            rows[f"{tag}/vjp_full"] = timed(
+                lambda xx: sum(
+                    jnp.sum(t.astype(jnp.float32))
+                    for t in jax.vjp(conv, xx, ke)[1](g)
+                ),
+                x,
+            )
+            rows[f"{tag}/vjp_dx"] = timed(
+                lambda xx: jnp.sum(
+                    jax.vjp(lambda v: conv(v, ke), xx)[1](g)[0].astype(
+                        jnp.float32
+                    )
+                ),
+                x,
+            )
+            rows[f"{tag}/vjp_dw"] = timed(
+                lambda xx: jnp.sum(
+                    jax.vjp(lambda kk: conv(xx, kk), ke)[1](g)[0].astype(
+                        jnp.float32
+                    )
+                ),
+                x,
+            )
+        useful = 2 * B * 6 * n * n * 9 * cin * cout
+        print(f"-- n={n} cin={cin} cout={cout} pack={p} "
+              f"(useful fwd GFLOP={useful / 1e9:.2f})")
+        for k, v in rows.items():
+            mult = {"fwd": 1, "vjp_full": 3, "vjp_dx": 2, "vjp_dw": 2}[
+                k.split("/")[1]
+            ]
+            tf = useful * mult / (v * 1e-6) / 1e12
+            print(f"  {k:18s} {v:8.1f} us   {tf:6.1f} TF/s useful")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
