@@ -7,8 +7,9 @@ so :mod:`dlwp_cs_tpu.data.cfsr` can open raw ``.grb2`` downloads directly:
 
 * grid definition template 3.0 (regular latitude-longitude);
 * data representation templates 5.0 (simple packing), 5.2 (complex
-  packing) and 5.3 (complex packing with 1st/2nd-order spatial
-  differencing) — IEEE/JPEG2000 templates are rejected with a clear error;
+  packing), 5.3 (complex packing with 1st/2nd-order spatial differencing)
+  and 5.40 (JPEG2000, decoded via Pillow's OpenJPEG binding) — remaining
+  templates (e.g. IEEE floats) are rejected with a clear error;
 * section 6 bitmaps (missing cells decode to NaN);
 * product identity (discipline/category/number + fixed surface) and the
   reference time from section 1.
@@ -219,11 +220,11 @@ def _decode_product(body: bytes) -> dict:
 def _decode_representation(body: bytes) -> dict:
     template = _u(body, 9, 2)
     npoints = _u(body, 5, 4)
-    if template not in (0, 2, 3):
+    if template not in (0, 2, 3, 40):
         raise ValueError(
             f"data representation template 5.{template} unsupported "
-            "(simple/complex/complex+differencing only — convert JPEG2000 "
-            "products with wgrib2 first)"
+            "(simple/complex/complex+differencing/JPEG2000 only — convert "
+            "other products with wgrib2 first)"
         )
     (ref,) = struct.unpack(">f", body[11:15])
     rep = {
@@ -252,6 +253,9 @@ def _decode_representation(body: bytes) -> dict:
         rep.update(diff_order=body[47], diff_octets=body[48])
         if rep["diff_order"] not in (1, 2):
             raise ValueError(f"spatial differencing order {rep['diff_order']}")
+    if template == 40:
+        # octet 22: compression type (0 = lossless, 1 = lossy)
+        rep.update(j2k_compression=body[21])
     return rep
 
 
@@ -272,6 +276,8 @@ def _decode_data(body: bytes, rep, grid, bitmap) -> np.ndarray:
     npacked = int(bitmap.sum()) if bitmap is not None else rep["npoints"]
     if rep["template"] == 0:
         x = _bits(data, 0, rep["nbits"], npacked).astype(np.float64)
+    elif rep["template"] == 40:
+        x = _unpack_jpeg2000(data, rep, npacked).astype(np.float64)
     else:
         x = _unpack_complex(data, rep, npacked).astype(np.float64)
     vals = (rep["R"] + x * (2.0 ** rep["E"])) / (10.0 ** rep["D"])
@@ -280,6 +286,36 @@ def _decode_data(body: bytes, rep, grid, bitmap) -> np.ndarray:
         full[bitmap] = vals
         vals = full
     return vals.reshape(grid["nj"], grid["ni"])
+
+
+def _unpack_jpeg2000(data: bytes, rep, npacked: int) -> np.ndarray:
+    """Template 5.40: the data section is a JPEG2000 codestream of X.
+
+    Decoded with Pillow's OpenJPEG binding (present in this environment);
+    NCEP writes lossless (compression type 0) 5.40 products, so the
+    round-trip is exact.  A zero-bit field encodes a constant (X = 0).
+    """
+    if rep["nbits"] == 0:
+        return np.zeros(npacked, np.int64)
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is baked in here
+        raise ValueError(
+            "GRIB2 template 5.40 (JPEG2000) needs Pillow with OpenJPEG"
+        ) from e
+    try:
+        with Image.open(io.BytesIO(bytes(data))) as img:
+            arr = np.asarray(img)
+    except Exception as e:
+        raise ValueError(f"GRIB2 JPEG2000 codestream decode failed: {e}") from e
+    flat = arr.reshape(-1)
+    if flat.size < npacked:
+        raise ValueError(
+            f"JPEG2000 field has {flat.size} samples, expected {npacked}"
+        )
+    return flat[:npacked].astype(np.int64)
 
 
 def _unpack_complex(data: bytes, rep, npacked: int) -> np.ndarray:

@@ -56,12 +56,15 @@ class Preprocessor:
         constant_sources: dict | None = None,
         path: str | Path | None = None,
         batch_size: int = 256,
+        scaler: str = "standard",
     ):
         """Remap selected variables to a C{n} store.
 
         ``weights``: precomputed LL->CS weights (else bilinear generated).
         ``constant_sources``: mapping name -> (H, W) static lat-lon fields;
         remapped and standardized into the store's constants.
+        ``scaler``: 'standard' | 'minmax' | 'robust' normalization stats
+        (the reference's ``scaler_type`` option — SURVEY.md §2 row 6).
         Returns the MemoryStore (and writes HDF5 if ``path`` given).
         """
         cs = CubedSphere(n)
@@ -99,6 +102,7 @@ class Preprocessor:
             constants=constants,
             constant_names=constant_names,
             attrs={"grid_n": n, "source_grid": [len(self.lats), len(self.lons)]},
+            scaler=scaler,
         )
         if path is not None:
             write_store(path, store)

@@ -82,10 +82,12 @@ class MemoryStore:
         """Compute normalization stats from the data itself (build time).
 
         ``scaler``: ``'standard'`` (per-channel mean/std — the reference's
-        default) or ``'minmax'`` (maps the observed range to [0, 1] — the
+        default), ``'minmax'`` (maps the observed range to [0, 1] — the
         reference's ``scaler_type='MinMaxScaler'`` option, stored as
-        ``mean=min, std=max-min`` so the ``(x - mean) / std`` pipeline is
-        unchanged).  The choice is recorded in ``attrs['scaler']``.
+        ``mean=min, std=max-min``), or ``'robust'`` (median / IQR — the
+        reference's ``scaler_type='RobustScaler'`` option, outlier-immune),
+        all stored so the ``(x - mean) / std`` pipeline is unchanged.  The
+        choice is recorded in ``attrs['scaler']``.
 
         NaN-aware: variables with masked regions (e.g. sst over land) get
         stats over the valid cells only, so normalization never NaNs the
@@ -104,9 +106,17 @@ class MemoryStore:
                 hi = np.nanmax(fields, axis=(0, 1, 2, 3))
                 mean = lo.astype(np.float64)
                 std = (hi - lo).astype(np.float64)
+            elif scaler == "robust":
+                q = np.nanpercentile(
+                    fields.astype(np.float64), [25.0, 50.0, 75.0],
+                    axis=(0, 1, 2, 3),
+                )
+                mean = q[1]
+                std = q[2] - q[0]
             else:
                 raise ValueError(
-                    f"scaler must be 'standard' or 'minmax', got {scaler!r}"
+                    "scaler must be 'standard', 'minmax' or 'robust', "
+                    f"got {scaler!r}"
                 )
         # all-NaN / constant channels: identity normalization
         mean = np.where(np.isfinite(mean), mean, 0.0)

@@ -114,7 +114,24 @@ class TestStore:
         assert normed.min() == pytest.approx(0.0, abs=1e-6)
         assert normed.max() == pytest.approx(1.0, abs=1e-6)
         with pytest.raises(ValueError):
-            MemoryStore.from_raw(fields, np.arange(10.0), ("t",), scaler="robust")
+            MemoryStore.from_raw(fields, np.arange(10.0), ("t",), scaler="bogus")
+
+    def test_robust_scaler(self):
+        # median/IQR normalization: immune to a gross outlier that would
+        # wreck min/max (and shift mean/std)
+        rng = np.random.default_rng(8)
+        fields = rng.normal(0.0, 2.0, size=(10, 6, N, N, 1)).astype(np.float32)
+        fields[0, 0, 0, 0, 0] = 1e6  # one bad value
+        s = MemoryStore.from_raw(fields, np.arange(10.0), ("t",), scaler="robust")
+        assert s.attrs["scaler"] == "robust"
+        q25, q50, q75 = np.percentile(fields.astype(np.float64), [25, 50, 75])
+        assert s.mean[0] == pytest.approx(q50, rel=1e-6)
+        assert s.std[0] == pytest.approx(q75 - q25, rel=1e-6)
+        normed = (fields - s.mean) / s.std
+        # the bulk lands at O(1) scale despite the outlier
+        assert abs(np.median(normed)) < 1e-6
+        assert np.percentile(normed, 75) - np.percentile(normed, 25) == (
+            pytest.approx(1.0, rel=1e-6))
 
     def test_cell_mean_impute(self):
         # a masked cell gets ITS OWN time-mean, not the channel mean

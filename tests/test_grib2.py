@@ -80,7 +80,27 @@ def encode_grib2(field, lats_deg, lons_deg, *, template=0, nbits=12,
     p[19:23] = struct.pack(">I", 50000)
     sec4 = bytes(p)
 
-    if template == 0:
+    if template == 40:
+        # JPEG2000 packing: section 7 is a raw lossless J2K codestream of X
+        import io
+        from PIL import Image
+
+        r = bytearray(18)
+        r[0:4] = struct.pack(">I", len(X))
+        r[4:6] = struct.pack(">H", 40)
+        r[6:10] = struct.pack(">f", R)
+        r[10:12] = _signed(0, 2)
+        r[12:14] = _signed(D, 2)
+        r[14] = nbits
+        r[15] = 0  # type of original field
+        r[16] = 0  # lossless
+        r[17] = 255
+        sec5 = bytes(r)
+        img = Image.fromarray(X.reshape(ny, nx).astype(np.uint16))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG2000", irreversible=False, no_jp2=True)
+        data = buf.getvalue()
+    elif template == 0:
         r = bytearray(16)
         r[0:4] = struct.pack(">I", len(X))
         r[4:6] = struct.pack(">H", 0)
@@ -171,7 +191,7 @@ def _field(ny=19, nx=36, seed=0):
     return np.round(f, 2), lat, lon
 
 
-@pytest.mark.parametrize("template", [0, 2, 3])
+@pytest.mark.parametrize("template", [0, 2, 3, 40])
 def test_roundtrip(tmp_path, template):
     f, lat, lon = _field()
     p = tmp_path / "t.grb2"
@@ -227,15 +247,15 @@ def test_cfs_open_grib(tmp_path):
 def test_unsupported_template_rejected(tmp_path):
     f, lat, lon = _field()
     raw = bytearray(encode_grib2(f, lat, lon, template=0))
-    # corrupt the representation template number to 40 (JPEG2000)
+    # corrupt the representation template number to 4 (IEEE floats)
     pos = 16
     while pos < len(raw) - 4:
         seclen = int.from_bytes(raw[pos : pos + 4], "big")
         if raw[pos + 4] == 5:
-            raw[pos + 9 : pos + 11] = (40).to_bytes(2, "big")
+            raw[pos + 9 : pos + 11] = (4).to_bytes(2, "big")
             break
         pos += seclen
     p = tmp_path / "bad.grb2"
     p.write_bytes(bytes(raw))
-    with pytest.raises(ValueError, match="5.40"):
+    with pytest.raises(ValueError, match="5.4"):
         read_grib2(p)

@@ -185,6 +185,99 @@ def main() -> int:
         print(f"{'bdonly':10s} {t * 1e6:8.1f} us/conv  {flops / t / 1e12:6.1f} TF/s"
               f"  maxerr={err:.3e}", flush=True)
 
+    # --- packed im2col: ONE (n^2, 9*pC) x (9*pC, pC) dot per face ----------
+    # VERDICT r2 next #1: lift the tap-dot formulation off its floor.  On
+    # the PACKED layout each tap occupies a full 128-lane block, so the
+    # im2col scratch writes are tile-aligned (the sub-tile lane slicing
+    # that killed npack does not occur).  One K=9*pC dot loads the weights
+    # once and streams the activations once.
+    def _kernel_im2col(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref,
+                       out_ref, xpad, col, *, n):
+        cin = x_ref.shape[-1]
+        cout = out_ref.shape[-1]
+        f = pl.program_id(1)
+        is_eq = f < 4
+        xpad[:, :, :] = jnp.zeros(xpad.shape, xpad.dtype)
+        xpad[1 : n + 1, 1 : n + 1, :] = x_ref[0, 0]
+        xpad[0, :, :] = ext_ref[0, 0, 0]
+        xpad[n + 1, :, :] = ext_ref[0, 0, 1]
+        for dy in range(3):
+            for dx in range(3):
+                t = dy * 3 + dx
+                col[:, :, t * cin : (t + 1) * cin] = xpad[dy : dy + n, dx : dx + n, :]
+        kmat = jnp.where(is_eq, keq_ref[...], kpo_ref[...])  # (9*cin, cout)
+        acc = jax.lax.dot_general(
+            col[:, :, :], kmat,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        row2 = lax.broadcasted_iota(jnp.int32, (n + 2, 1), 0)
+        interior = jnp.logical_and(row2 > 0, row2 < n + 1)
+        w_strip = jnp.where(interior, ext_ref[0, 0, 2], 0).astype(xpad.dtype)
+        e_strip = jnp.where(interior, ext_ref[0, 0, 3], 0).astype(xpad.dtype)
+        cw = jnp.zeros((n, cout), jnp.float32)
+        ce = jnp.zeros((n, cout), jnp.float32)
+        for dy in range(3):
+            tw = dy * 3 + 0
+            te = dy * 3 + 2
+            cw += jax.lax.dot_general(
+                w_strip[dy : dy + n], kmat[tw * cin : (tw + 1) * cin],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ce += jax.lax.dot_general(
+                e_strip[dy : dy + n], kmat[te * cin : (te + 1) * cin],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        colm = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+        acc += jnp.where(colm == 0, cw[:, None, :], 0.0)
+        acc += jnp.where(colm == n - 1, ce[:, None, :], 0.0)
+        bias = jnp.where(is_eq, beq_ref[:], bpo_ref[:])
+        acc += bias[None].astype(jnp.float32)
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+    kebm = keb.reshape(9 * PACK * C, PACK * C)
+    kpbm = kpb.reshape(9 * PACK * C, PACK * C)
+
+    def call_im2col(vp):
+        b2, _, n2, _, cinp = vp.shape
+        coutp = PACK * C
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_im2col, n=n2),
+            grid=(b2, 6),
+            in_specs=[
+                pl.BlockSpec((1, 1, n2, n2, cinp), lambda i, f: (i, f, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 4, n2 + 2, cinp), lambda i, f: (i, f, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full, full, full, full,
+            ],
+            out_specs=pl.BlockSpec((1, 1, n2, n2, coutp),
+                                   lambda i, f: (i, f, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b2, 6, n2, n2, coutp), vp.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n2 + 2, n2 + 2, cinp), vp.dtype),
+                pltpu.VMEM((n2, n2, 9 * cinp), vp.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        )(vp, ext_strips(vp), kebm, kpbm, beb, bpb)
+
+    def im2col_pack(v):
+        return unpack_batch(call_im2col(pack_batch(v, PACK)), PACK)
+
+    report("im2col_p", im2col_pack)
+    try:
+        got = np.asarray(unpack_batch(call_im2col(xp), PACK), np.float32)
+        err2 = float(np.max(np.abs(got - ref)))
+        t = time_chain(call_im2col, xp, t_over)
+        print(f"{'im2colonly':10s} {t * 1e6:8.1f} us/conv  "
+              f"{flops / t / 1e12:6.1f} TF/s  maxerr={err2:.3e}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"im2colonly FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+
     # --- packed XLA SAME conv (differentiable: would speed fwd AND VJP) ---
     from dlwp_cs_tpu.ops.ringfix import _same_conv
 
