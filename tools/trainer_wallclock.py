@@ -1,22 +1,14 @@
-"""Measure REAL Trainer.fit wall-clock on TPU (VERDICT r1 #5).
+"""Real ``Trainer.fit`` wall-clock vs the bench's chained step (VERDICT r2 #7).
 
-bench.py times an in-graph chained scan — the best case.  This script runs
-the actual `Trainer.fit` loop for a few epochs at the bench configuration
-and reports wall-clock seconds per step, to be compared against bench's
-chained step time.
+bench.py times the train step inside one jitted ``lax.scan`` — the floor.
+This tool measures what a user actually gets from ``Trainer.fit`` at the
+flagship configuration (C48, (32,64,128), b=16, bf16) with device-resident
+synthetic batches (so the input pipeline contributes nothing and the gap is
+pure trainer overhead: dispatch cadence, metric readback, bookkeeping).
 
-Modes (combine freely):
-  --fused K        TrainConfig.fused_steps=K (K optimizer steps per dispatch)
-  --device-data    pre-put the synthetic batches on device once (isolates
-                   the host loop from this environment's slow remote-tunnel
-                   host->device transfer, ~340 ms for a 17.7 MB batch)
-
-Measured on 1x v5e (PERF.md round 2): host-fed unfused 397 ms/step
-(transfer-bound over the tunnel), device-resident unfused 56 ms/step
-(dispatch-bound), device-resident fused=8 ~16 ms/step (= bench's 13.8 ms
-plus amortized dispatch).
-
-Run ON TPU from the repo root: ``python tools/trainer_wallclock.py [flags]``.
+Run ON TPU: ``python tools/trainer_wallclock.py [--fused k] [--steps N]``.
+Prints ms/step for epoch 2+ (epoch 1 pays compile) and the per-step
+dispatch/data-wait decomposition the Trainer already records.
 """
 
 from __future__ import annotations
@@ -29,69 +21,75 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
+
+import jax
 import jax.numpy as jnp
 
-from dlwp_cs_tpu.data.prefetch import prefetch_to_device
 from dlwp_cs_tpu.models import CubeSphereUNet, DataConfig, TrainConfig, UNetConfig
 from dlwp_cs_tpu.train import Trainer
 
 N, FILTERS, BATCH = 48, (32, 64, 128), 16
-STEPS_PER_EPOCH, EPOCHS = 32, 4
 
 
 def main() -> int:
-    import jax
-
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fused", type=int, default=1)
-    ap.add_argument("--device-data", action="store_true")
+    ap.add_argument("--fused", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=128, help="steps per epoch")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--metrics-every", type=int, default=None,
+                    help="flush cadence in FUSED DISPATCHES (default: once "
+                    "per epoch)")
     args = ap.parse_args()
 
     dcfg = DataConfig(grid_n=N)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(BATCH, 6, N, N, dcfg.input_channels)).astype(np.float32)
+    )
+    y = jnp.asarray(
+        rng.normal(size=(BATCH, 6, N, N, dcfg.output_channels)).astype(np.float32)
+    )
     mcfg = UNetConfig(
         output_channels=dcfg.output_channels,
         filters=FILTERS,
         compute_dtype="bfloat16",
-        conv_backend="auto",
     )
     model = CubeSphereUNet(mcfg)
+    me = args.metrics_every or max(1, args.steps // args.fused)
     tcfg = TrainConfig(
         learning_rate=1e-3,
-        max_epochs=EPOCHS,
-        checkpoint_every_epochs=10_000,
-        metrics_every=8,
+        max_epochs=args.epochs,
         fused_steps=args.fused,
-        restore_best_weights=False,  # no per-epoch params download
+        metrics_every=me,
+        restore_best_weights=False,
+        early_stopping_patience=10**6,
     )
-    rng = np.random.default_rng(0)
-    batches = [
-        (
-            rng.normal(size=(BATCH, 6, N, N, dcfg.input_channels)).astype(np.float32),
-            rng.normal(size=(BATCH, 6, N, N, dcfg.output_channels)).astype(np.float32),
-        )
-        for _ in range(STEPS_PER_EPOCH)
-    ]
-    if args.device_data:
-        batches = jax.device_put(batches)
-        jax.block_until_ready(batches)
-        data = lambda: iter(batches)
-    else:
-        data = lambda: prefetch_to_device(iter(batches))
     trainer = Trainer(model, tcfg)
-    state = trainer.init(jnp.asarray(np.asarray(batches[0][0])))
-    # ONE fit call (per-epoch timings from history); epoch 0 pays compilation
-    state = trainer.fit(state, data, verbose=False)
-    t_epochs = [r["seconds"] for r in trainer.history.epochs]
-    for e, t in enumerate(t_epochs):
-        print(f"epoch {e}: {t:.2f}s ({t / STEPS_PER_EPOCH * 1e3:.2f} ms/step)",
-              flush=True)
-    best = min(t_epochs[1:])
-    waits = [r["data_wait_s"] for r in trainer.history.steps[STEPS_PER_EPOCH:]]
+    state = trainer.init(x)
+
+    def epoch_data():
+        return ((x, y) for _ in range(args.steps))
+
+    times = []
+    for ep in range(args.epochs):
+        t0 = time.perf_counter()
+        state = trainer.fit(state, epoch_data, verbose=False, epochs=ep + 1)
+        trainer._epochs_done = ep + 1
+        times.append(time.perf_counter() - t0)
+    per_step = [t / args.steps * 1e3 for t in times]
+    steady = min(per_step[1:]) if len(per_step) > 1 else per_step[0]
+    recs = trainer.history.steps[-args.steps :]
+    disp = sum(r["dispatch_s"] for r in recs) / max(len(recs), 1) * 1e3
+    wait = sum(r["data_wait_s"] for r in recs) / max(len(recs), 1) * 1e3
     print(
-        f"trainer wall-clock: {best / STEPS_PER_EPOCH * 1e3:.2f} ms/step "
-        f"(platform={jax.devices()[0].platform}, fused_steps={args.fused}, "
-        f"device_data={args.device_data}, metrics_every={tcfg.metrics_every}, "
-        f"mean data_wait={np.mean(waits) * 1e3:.2f} ms)"
+        f"platform={jax.devices()[0].platform} fused={args.fused} "
+        f"steps/epoch={args.steps}"
+    )
+    for i, ms in enumerate(per_step):
+        print(f"epoch {i}: {ms:7.2f} ms/step")
+    print(
+        f"steady-state: {steady:.2f} ms/step  "
+        f"(mean dispatch {disp:.2f} ms, data wait {wait:.3f} ms per record)"
     )
     return 0
 
