@@ -134,42 +134,59 @@ def make_sharded_sequence_train_step(
     """Mesh-parallel autoregressive sequence training (SURVEY.md §2.7;
     VERDICT r1 #4: the flagship fine-tuning recipe must scale).
 
-    ``shard_map`` over ``('data', 'spatial')``: the batch is data-parallel
-    and face rows are domain-decomposed with the seam-routed halo exchange
-    under every conv (:mod:`dlwp_cs_tpu.parallel.halo`).  The per-shard
-    insolation is computed only for the LOCAL row band (lat/lon sliced by
-    shard index), so forcing stays fully sharded through the whole rollout.
+    ``shard_map`` over ``('data', 'spatial'[, 'spatial_x'])``: the batch is
+    data-parallel and face rows (and columns, when the mesh carries a
+    ``spatial_x`` axis) are domain-decomposed with the halo exchange of
+    :mod:`dlwp_cs_tpu.parallel.halo` / :mod:`...halo2d` under every conv.
+    The per-shard insolation is computed only for the LOCAL tile (lat/lon
+    sliced by shard indices), so forcing stays fully sharded through the
+    whole rollout.
 
     Batch layout: ``window (B, T_in, 6, n, n, C)``, ``t0_days (B,)``,
-    ``targets (B, seq, 6, n, n, T_out*C)`` — rows are dim 3 throughout.
-    ``loss_fn`` must be an unweighted elementwise mean (pmean-exact).
+    ``targets (B, seq, 6, n, n, T_out*C)`` — rows are dim 3, columns dim 4
+    throughout.  ``loss_fn`` must be an unweighted elementwise mean
+    (pmean-exact).
     """
     from jax.sharding import PartitionSpec as P
 
-    from dlwp_cs_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+    from dlwp_cs_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS, SPATIAL_X_AXIS
     from dlwp_cs_tpu.parallel.sharding import sharded_model_ctx
 
     n_spatial = mesh.shape[SPATIAL_AXIS]
-    axes = (DATA_AXIS, SPATIAL_AXIS)
-    model_ctx = sharded_model_ctx(n_spatial)
+    n_spatial_x = mesh.shape.get(SPATIAL_X_AXIS, 1)
+    axes = tuple(
+        a
+        for a in (DATA_AXIS, SPATIAL_AXIS, SPATIAL_X_AXIS)
+        if a in mesh.shape
+    )
+    model_ctx = sharded_model_ctx(n_spatial, n_spatial_x=n_spatial_x)
     lat = jnp.asarray(lat)
     lon = jnp.asarray(lon)
     n = lat.shape[1]
     h = n // n_spatial
     if h * n_spatial != n:
         raise ValueError(f"grid n={n} not divisible by spatial={n_spatial}")
+    wl = n // n_spatial_x
+    if wl * n_spatial_x != n:
+        raise ValueError(
+            f"grid n={n} not divisible by spatial_x={n_spatial_x}"
+        )
     if constants is not None:
         constants = jnp.asarray(constants)
 
     def local_step(state: TrainState, window, t0_days, targets):
         s = lax.axis_index(SPATIAL_AXIS)
-        lat_l = lax.dynamic_slice_in_dim(lat, s * h, h, axis=1)
-        lon_l = lax.dynamic_slice_in_dim(lon, s * h, h, axis=1)
-        const_l = (
-            None
-            if constants is None
-            else lax.dynamic_slice_in_dim(constants, s * h, h, axis=1)
-        )
+
+        def tile(arr):
+            out = lax.dynamic_slice_in_dim(arr, s * h, h, axis=1)
+            if n_spatial_x > 1:
+                jx = lax.axis_index(SPATIAL_X_AXIS)
+                out = lax.dynamic_slice_in_dim(out, jx * wl, wl, axis=2)
+            return out
+
+        lat_l = tile(lat)
+        lon_l = tile(lon)
+        const_l = None if constants is None else tile(constants)
         loss = make_sequence_loss(
             apply_fn,
             data_cfg,
@@ -196,7 +213,8 @@ def make_sharded_sequence_train_step(
             "grad_norm": optax.global_norm(grads),
         }
 
-    row6 = P(DATA_AXIS, None, None, SPATIAL_AXIS, None, None)
+    colax = SPATIAL_X_AXIS if n_spatial_x > 1 else None
+    row6 = P(DATA_AXIS, None, None, SPATIAL_AXIS, colax, None)
     stepped = jax.shard_map(
         local_step,
         mesh=mesh,

@@ -171,18 +171,26 @@ class TestSequenceTraining:
             init_state(jax.tree.map(jnp.copy, params), opt), window, t0, targets
         )
 
-        mesh = create_mesh(data=2, spatial=4)
-        sh_step = make_sharded_sequence_train_step(
-            model.apply, dcfg, opt, mesh, **kw
-        )
-        state, m = sh_step(
-            init_state(jax.tree.map(jnp.copy, params), opt), window, t0, targets
-        )
-        assert float(m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-5)
-        for a, b in zip(
-            jax.tree.leaves(state.params), jax.tree.leaves(ref_state.params)
-        ):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        for mesh_kw in ({"data": 2, "spatial": 4},
+                        {"data": 2, "spatial": 2, "spatial_x": 2}):
+            mesh = create_mesh(**mesh_kw)
+            sh_step = make_sharded_sequence_train_step(
+                model.apply, dcfg, opt, mesh, **kw
+            )
+            state, m = sh_step(
+                init_state(jax.tree.map(jnp.copy, params), opt), window, t0,
+                targets,
+            )
+            assert float(m["loss"]) == pytest.approx(
+                float(ref_m["loss"]), rel=1e-5
+            ), mesh_kw
+            for a, b in zip(
+                jax.tree.leaves(state.params), jax.tree.leaves(ref_state.params)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-4,
+                    err_msg=str(mesh_kw),
+                )
 
     def test_matches_rollout_rewiring(self):
         # the sequence loss's internal rollout must equal make_rollout_fn's

@@ -57,24 +57,28 @@ def main() -> int:
     print(f"platform={jax.devices()[0].platform} overhead={t_over * 1e3:.1f}ms")
 
     def timed(fn, *args):
+        # Anti-DCE methodology: (a) every input AND cotangent depends on the
+        # scan carry, so nothing hoists out of the chain; (b) the reduction
+        # is mean-of-SQUARES — a linear reduction of a linear op (e.g.
+        # sum(conv(x))) is algebraically collapsible by XLA and produced
+        # 0-us rows in the first run of this tool.
+        def sq(t):
+            return jnp.mean(jnp.square(t.astype(jnp.float32)))
+
+        def body(c, _):
+            out = fn(c, *args)
+            leaves = jax.tree.leaves(out)
+            return sum(sq(t) for t in leaves) * 1e-6, None
+
         run = jax.jit(
-            lambda a: lax.scan(
-                lambda c, _: (
-                    jnp.mean(
-                        fn(a[0] + c.astype(a[0].dtype), *a[1:])
-                    ).astype(jnp.float32),
-                    None,
-                ),
-                jnp.zeros((), jnp.float32),
-                None,
-                length=CHAIN,
-            )[0]
+            lambda a0: lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=CHAIN)[0]
         )
-        float(run(args))
+        float(run(jnp.zeros(())))
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            float(run(args))
+            float(run(jnp.zeros(())))
             best = min(best, time.perf_counter() - t0)
         return max((best - t_over) / CHAIN, 1e-9) * 1e6  # us
 
@@ -102,35 +106,29 @@ def main() -> int:
 
         rows = {}
         for tag, conv in (("unpacked", conv_unpacked), ("packed", conv_packed)):
-            rows[f"{tag}/fwd"] = timed(lambda xx: conv(xx, ke), x)
+            def xc(c):
+                return x + c.astype(x.dtype)
+
+            def gc(c):
+                return g + c.astype(g.dtype)
+
+            rows[f"{tag}/fwd"] = timed(lambda c: conv(xc(c), ke))
             rows[f"{tag}/vjp_full"] = timed(
-                lambda xx: sum(
-                    jnp.sum(t.astype(jnp.float32))
-                    for t in jax.vjp(conv, xx, ke)[1](g)
-                ),
-                x,
+                lambda c: jax.vjp(conv, xc(c), ke)[1](gc(c))
             )
             rows[f"{tag}/vjp_dx"] = timed(
-                lambda xx: jnp.sum(
-                    jax.vjp(lambda v: conv(v, ke), xx)[1](g)[0].astype(
-                        jnp.float32
-                    )
-                ),
-                x,
+                lambda c: jax.vjp(lambda v: conv(v, ke), xc(c))[1](gc(c))[0]
             )
             rows[f"{tag}/vjp_dw"] = timed(
-                lambda xx: jnp.sum(
-                    jax.vjp(lambda kk: conv(xx, kk), ke)[1](g)[0].astype(
-                        jnp.float32
-                    )
-                ),
-                x,
+                lambda c: jax.vjp(lambda kk: conv(xc(c), kk), ke)[1](gc(c))[0]
             )
         useful = 2 * B * 6 * n * n * 9 * cin * cout
         print(f"-- n={n} cin={cin} cout={cout} pack={p} "
               f"(useful fwd GFLOP={useful / 1e9:.2f})")
         for k, v in rows.items():
-            mult = {"fwd": 1, "vjp_full": 3, "vjp_dx": 2, "vjp_dw": 2}[
+            # FLOP multiples of one forward conv: dx and dw are each one
+            # conv-sized contraction; the full pullback is both.
+            mult = {"fwd": 1, "vjp_full": 2, "vjp_dx": 1, "vjp_dw": 1}[
                 k.split("/")[1]
             ]
             tf = useful * mult / (v * 1e-6) / 1e12
