@@ -63,8 +63,9 @@ class Preprocessor:
         ``weights``: precomputed LL->CS weights (else bilinear generated).
         ``constant_sources``: mapping name -> (H, W) static lat-lon fields;
         remapped and standardized into the store's constants.
-        ``scaler``: 'standard' | 'minmax' | 'robust' normalization stats
-        (the reference's ``scaler_type`` option — SURVEY.md §2 row 6).
+        ``scaler``: 'standard' | 'minmax' | 'robust' | 'maxabs'
+        normalization stats (the reference's sklearn ``scaler_type``
+        option — SURVEY.md §2 row 6).
         Returns the MemoryStore (and writes HDF5 if ``path`` given).
         """
         cs = CubedSphere(n)

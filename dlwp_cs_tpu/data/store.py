@@ -84,8 +84,9 @@ class MemoryStore:
         ``scaler``: ``'standard'`` (per-channel mean/std — the reference's
         default), ``'minmax'`` (maps the observed range to [0, 1] — the
         reference's ``scaler_type='MinMaxScaler'`` option, stored as
-        ``mean=min, std=max-min``), or ``'robust'`` (median / IQR — the
+        ``mean=min, std=max-min``), ``'robust'`` (median / IQR — the
         reference's ``scaler_type='RobustScaler'`` option, outlier-immune),
+        or ``'maxabs'`` (``x / max|x|`` — sklearn ``MaxAbsScaler`` parity),
         all stored so the ``(x - mean) / std`` pipeline is unchanged.  The
         choice is recorded in ``attrs['scaler']``.
 
@@ -113,10 +114,16 @@ class MemoryStore:
                 )
                 mean = q[1]
                 std = q[2] - q[0]
+            elif scaler == "maxabs":
+                # sklearn MaxAbsScaler parity: x / max|x|, center untouched
+                mean = np.zeros(fields.shape[-1], np.float64)
+                std = np.nanmax(
+                    np.abs(fields), axis=(0, 1, 2, 3)
+                ).astype(np.float64)
             else:
                 raise ValueError(
-                    "scaler must be 'standard', 'minmax' or 'robust', "
-                    f"got {scaler!r}"
+                    "scaler must be 'standard', 'minmax', 'robust' or "
+                    f"'maxabs', got {scaler!r}"
                 )
         # all-NaN / constant channels: identity normalization
         mean = np.where(np.isfinite(mean), mean, 0.0)

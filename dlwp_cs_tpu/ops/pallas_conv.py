@@ -122,14 +122,22 @@ def backward_mode() -> str:
 
 
 def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
-            *, n):
+            *, n, h=None):
     """One (batch, face) block: assemble the padded face in VMEM, convolve.
 
     Gridding over faces (not just batch) keeps the per-step VMEM footprint
     to one face + its strips (Mosaic double-buffers the pipelined blocks, so
     whole-sphere blocks blow the 16 MB budget at C48) and lets the DMA of
     face f+1 overlap the MXU work on face f.
+
+    ``h`` (default ``n``): the block's ROW count.  ``h < n`` is the
+    shard-local rectangular band of the spatially decomposed path
+    (:mod:`dlwp_cs_tpu.parallel.pallas_band`): the block is rows of an
+    ``(h, n)`` band whose ghost strips came from the halo collectives; the
+    S/N ext rows then have length ``n + 2`` as usual while the W/E ext
+    strips carry their ``h`` interior ghosts at positions ``1..h``.
     """
+    h = n if h is None else h
     cout = out_ref.shape[-1]
     f = pl.program_id(1)
     is_equatorial = f < 4
@@ -139,7 +147,7 @@ def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
         # small kernels and select elementwise (cheap vs. the matmuls).
         return jnp.where(is_equatorial, keq_ref[dy, dx], kpo_ref[dy, dx])
 
-    # ---- padded face (n+2, n+2, Cin) in VMEM scratch ---------------------
+    # ---- padded face (h+2, n+2, Cin) in VMEM scratch ---------------------
     # Layout (rows, width, C): width x C are the tiled dims, so the two
     # ghost-ROW writes are full tile-planes (the ext strips carry the corner
     # ghosts at positions 0 and n+1, so the corners land via the row
@@ -148,14 +156,14 @@ def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
     # so the W/E columns stay ZERO and their contributions enter as two
     # boundary-column corrections below — O(n) dots, all in VMEM.
     xpad[:, :, :] = jnp.zeros(xpad.shape, xpad.dtype)
-    xpad[1 : n + 1, 1 : n + 1, :] = x_ref[0, 0]
+    xpad[1 : h + 1, 1 : n + 1, :] = x_ref[0, 0]
     xpad[0, :, :] = ext_ref[0, 0, 0]      # S ghost row incl. corners
-    xpad[n + 1, :, :] = ext_ref[0, 0, 1]  # N ghost row incl. corners
+    xpad[h + 1, :, :] = ext_ref[0, 0, 1]  # N ghost row incl. corners
     # ---- 9-tap shifted contractions on the MXU ---------------------------
-    acc = jnp.zeros((n, n, cout), jnp.float32)
+    acc = jnp.zeros((h, n, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            tile = xpad[dy : dy + n, dx : dx + n, :]  # (n, n, Cin)
+            tile = xpad[dy : dy + h, dx : dx + n, :]  # (h, n, Cin)
             acc += jax.lax.dot_general(
                 tile,
                 kk(dy, dx),
@@ -164,26 +172,26 @@ def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
             )
     # ---- W/E ghost-column corrections ------------------------------------
     # Output column 0 misses the dx=0 taps' reads of padded column 0 at
-    # INTERIOR padded rows 1..n (the corner entries at padded rows 0/n+1
+    # INTERIOR padded rows 1..h (the corner entries at padded rows 0/h+1
     # already arrived via the ghost-row writes); mirror for column n-1.
-    row2 = lax.broadcasted_iota(jnp.int32, (n + 2, 1), 0)
-    interior = jnp.logical_and(row2 > 0, row2 < n + 1)
-    w_strip = jnp.where(interior, ext_ref[0, 0, 2], 0).astype(xpad.dtype)
-    e_strip = jnp.where(interior, ext_ref[0, 0, 3], 0).astype(xpad.dtype)
-    cw = jnp.zeros((n, cout), jnp.float32)
-    ce = jnp.zeros((n, cout), jnp.float32)
+    row2 = lax.broadcasted_iota(jnp.int32, (h + 2, 1), 0)
+    interior = jnp.logical_and(row2 > 0, row2 < h + 1)
+    w_strip = jnp.where(interior, ext_ref[0, 0, 2, : h + 2], 0).astype(xpad.dtype)
+    e_strip = jnp.where(interior, ext_ref[0, 0, 3, : h + 2], 0).astype(xpad.dtype)
+    cw = jnp.zeros((h, cout), jnp.float32)
+    ce = jnp.zeros((h, cout), jnp.float32)
     for dy in range(3):
         cw += jax.lax.dot_general(
-            w_strip[dy : dy + n], kk(dy, 0),
+            w_strip[dy : dy + h], kk(dy, 0),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ce += jax.lax.dot_general(
-            e_strip[dy : dy + n], kk(dy, 2),
+            e_strip[dy : dy + h], kk(dy, 2),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    col = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    col = lax.broadcasted_iota(jnp.int32, (h, n, 1), 1)
     acc += jnp.where(col == 0, cw[:, None, :], 0.0)
     acc += jnp.where(col == n - 1, ce[:, None, :], 0.0)
     bias = jnp.where(is_equatorial, beq_ref[:], bpo_ref[:])  # (1, Cout)
@@ -256,17 +264,22 @@ def _kernel_npack(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref,
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
-def vmem_estimate_bytes(n: int, cin: int, cout: int, dtype_bytes: int = 4) -> int:
+def vmem_estimate_bytes(
+    n: int, cin: int, cout: int, dtype_bytes: int = 4, h: int | None = None
+) -> int:
     """Rough VMEM footprint of the fused kernel for feasibility gating.
 
     Per grid step the kernel holds ONE face block (+ ext strips) and its
     output; Mosaic double-buffers the pipelined in/out blocks (x2 below).
+    ``h``: block row count (default ``n``; the band kernel passes its band
+    height).
     """
-    x = 2 * n * n * cin * dtype_bytes
+    h = n if h is None else h
+    x = 2 * h * n * cin * dtype_bytes
     strips = 2 * 4 * (n + 2) * cin * dtype_bytes
-    out = 2 * n * n * cout * dtype_bytes
-    pad = (n + 2) * (n + 2) * cin * dtype_bytes
-    acc = n * n * cout * 4
+    out = 2 * h * n * cout * dtype_bytes
+    pad = (h + 2) * (n + 2) * cin * dtype_bytes
+    acc = h * n * cout * 4
     k = 2 * 9 * cin * cout * dtype_bytes
     return x + strips + out + pad + acc + k
 
@@ -300,7 +313,7 @@ def cs_conv3x3_pallas(x, k_eq, k_pole, b_eq, b_pole, interpret=False,
 
 
 def _pack_factor(b: int, n: int, cin: int, cout: int,
-                 dtype_bytes: int = 2) -> int:
+                 dtype_bytes: int = 2, h: int | None = None) -> int:
     """Batch->lane packing factor for small-channel convs.
 
     A (n, n, 32) x (32, 32) tap leaves the 128x128 MXU ~94% idle (measured
@@ -314,7 +327,7 @@ def _pack_factor(b: int, n: int, cin: int, cout: int,
     """
     p = packing.pack_factor(b, cin, cout)
     while p > 1 and vmem_estimate_bytes(
-        n, p * cin, p * cout, dtype_bytes
+        n, p * cin, p * cout, dtype_bytes, h=h
     ) >= 10 * 2**20:
         p //= 2
     return p

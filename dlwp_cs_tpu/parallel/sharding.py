@@ -222,6 +222,7 @@ def sharded_model_ctx(
     overlap: bool = True,
     n_spatial_x: int = 1,
     band_impl: str = "ppermute",
+    band_conv: str = "ringfix",
 ):
     """Context manager factory installing the sharded conv machinery.
 
@@ -239,6 +240,15 @@ def sharded_model_ctx(
     ``band_impl`` selects the band-row transport for the 1-D path:
     ``'ppermute'`` (default) or ``'rdma'``/``'rdma_interpret'`` (the
     in-kernel Pallas async-remote-copy exchange, :mod:`parallel.rdma_halo`).
+
+    ``band_conv`` selects the 1-D band conv formulation (requires
+    ``overlap=True``): ``'ringfix'`` (default — XLA band ring-fix, seam
+    traffic overlappable with the interior conv) or
+    ``'pallas'``/``'pallas_interpret'`` — the shard-local fused VMEM kernel
+    (:mod:`parallel.pallas_band`) consuming the exchanged halo strips:
+    fewer per-conv XLA ops, but every MXU flop then depends on the seam
+    collectives (no overlap).  Which wins is a real-multi-chip measurement
+    this 1-chip environment cannot take; both are equivalence-pinned.
     """
     if n_spatial_x > 1:
         from dlwp_cs_tpu.parallel.halo2d import make_sharded_pad_2d
@@ -257,9 +267,22 @@ def sharded_model_ctx(
 
         return pad_ctx
     from dlwp_cs_tpu.ops.conv import use_conv3x3_impl
-    from dlwp_cs_tpu.parallel.overlap import make_sharded_conv3x3
 
-    conv_impl = make_sharded_conv3x3(n_spatial)
+    if band_conv in ("pallas", "pallas_interpret"):
+        from dlwp_cs_tpu.parallel.pallas_band import make_sharded_pallas_conv3x3
+
+        conv_impl = make_sharded_pallas_conv3x3(
+            n_spatial, interpret=band_conv == "pallas_interpret"
+        )
+    elif band_conv == "ringfix":
+        from dlwp_cs_tpu.parallel.overlap import make_sharded_conv3x3
+
+        conv_impl = make_sharded_conv3x3(n_spatial)
+    else:
+        raise ValueError(
+            f"unknown band_conv {band_conv!r}; "
+            "want 'ringfix' | 'pallas' | 'pallas_interpret'"
+        )
 
     @contextlib.contextmanager
     def ctx():
@@ -273,6 +296,7 @@ def sharded_model_ctx(
 def make_spatial_train_step(
     apply_fn, optimizer, loss_fn, mesh: Mesh, *, jit: bool = True,
     overlap: bool = True, band_impl: str = "ppermute",
+    band_conv: str = "ringfix",
 ):
     """shard_map train step: batch over 'data', face rows over 'spatial'.
 
@@ -295,7 +319,7 @@ def make_spatial_train_step(
     )
     model_ctx = sharded_model_ctx(
         n_spatial, overlap=overlap, n_spatial_x=n_spatial_x,
-        band_impl=band_impl,
+        band_impl=band_impl, band_conv=band_conv,
     )
     weighted = hasattr(loss_fn, "local_terms")
 
@@ -360,7 +384,8 @@ def make_spatial_train_step(
 
 
 def make_spatial_apply(apply_fn, mesh: Mesh, *, jit: bool = True,
-                       overlap: bool = True, band_impl: str = "ppermute"):
+                       overlap: bool = True, band_impl: str = "ppermute",
+                       band_conv: str = "ringfix"):
     """Sharded forward pass: ``f(params, inputs) -> outputs`` under shard_map.
 
     Used by the sharded rollout and by the sharding-equivalence tests.
@@ -369,7 +394,7 @@ def make_spatial_apply(apply_fn, mesh: Mesh, *, jit: bool = True,
     n_spatial_x = mesh.shape.get(SPATIAL_X_AXIS, 1)
     model_ctx = sharded_model_ctx(
         n_spatial, overlap=overlap, n_spatial_x=n_spatial_x,
-        band_impl=band_impl,
+        band_impl=band_impl, band_conv=band_conv,
     )
 
     def local_apply(params, inputs):

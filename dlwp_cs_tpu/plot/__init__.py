@@ -1,5 +1,15 @@
 """Plotting helpers."""
 
-from dlwp_cs_tpu.plot.maps import plot_cube_faces, plot_error_curves, plot_history
+from dlwp_cs_tpu.plot.maps import (
+    plot_cube_faces,
+    plot_error_curves,
+    plot_history,
+    plot_latlon_map,
+)
 
-__all__ = ["plot_cube_faces", "plot_error_curves", "plot_history"]
+__all__ = [
+    "plot_cube_faces",
+    "plot_error_curves",
+    "plot_history",
+    "plot_latlon_map",
+]

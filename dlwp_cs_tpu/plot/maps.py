@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_cube_faces", "plot_error_curves", "plot_history"]
+__all__ = [
+    "plot_cube_faces",
+    "plot_error_curves",
+    "plot_history",
+    "plot_latlon_map",
+]
 
 # Cross layout: (row, col) panel of each face in a 3x4 grid.
 #         [4]
@@ -48,6 +53,102 @@ def plot_cube_faces(field, *, title: str | None = None, cmap: str = "RdBu_r",
         ax.set_xticks([])
         ax.set_yticks([])
     fig.colorbar(im, ax=axes, shrink=0.6)
+    if title:
+        fig.suptitle(title)
+    if out_path is not None:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_latlon_map(field, lats, lons, *, projection: str = "equirectangular",
+                    center_lat: float = 40.0, center_lon: float = 0.0,
+                    title: str | None = None, cmap: str = "RdBu_r",
+                    vmin=None, vmax=None, out_path=None):
+    """Projected map of a ``(nlat, nlon)`` lat-lon field; returns Figure.
+
+    Map-projection parity with the reference's basemap/cartopy plots
+    (``DLWP/plot/`` — SURVEY.md §2 row 18) without either dependency:
+
+    * ``'equirectangular'`` — plate carrée via ``imshow``;
+    * ``'mollweide'`` / ``'hammer'`` / ``'aitoff'`` — matplotlib's built-in
+      geographic axes (equal-area / compromise global projections);
+    * ``'orthographic'`` — the globe-from-space view, computed closed-form
+      (x = cos φ sin Δλ, y = cos φ₀ sin φ − sin φ₀ cos φ cos Δλ, hemisphere
+      mask cos c > 0) and centered on ``(center_lat, center_lon)``.
+
+    ``lats``/``lons`` are 1-D degree axes matching ``field``; cubed-sphere
+    fields get here through the inverse remap (:mod:`dlwp_cs_tpu.remap`).
+    Coastlines need offline geometry data neither matplotlib nor this
+    environment ships; the grid graticule is drawn instead.
+    """
+    plt = _mpl()
+    f = np.asarray(field, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    if f.shape != (lats.size, lons.size):
+        raise ValueError(
+            f"field {f.shape} does not match (nlat={lats.size}, nlon={lons.size})"
+        )
+    vmin = np.nanmin(f) if vmin is None else vmin
+    vmax = np.nanmax(f) if vmax is None else vmax
+    if projection == "equirectangular":
+        fig, ax = plt.subplots(figsize=(9, 4.5))
+        order = np.argsort(lats)
+        im = ax.imshow(
+            f[order], origin="lower", cmap=cmap, vmin=vmin, vmax=vmax,
+            extent=[lons.min(), lons.max(), lats.min(), lats.max()],
+            aspect="auto",
+        )
+        ax.set_xlabel("longitude")
+        ax.set_ylabel("latitude")
+        fig.colorbar(im, ax=ax, shrink=0.8)
+    elif projection in ("mollweide", "hammer", "aitoff"):
+        # matplotlib geo axes want radians, lon in [-pi, pi)
+        lon_w = (lons + 180.0) % 360.0 - 180.0
+        order_lo = np.argsort(lon_w)
+        order_la = np.argsort(lats)
+        fw = f[order_la][:, order_lo]
+        lon_r = np.radians(lon_w[order_lo])
+        lat_r = np.radians(lats[order_la])
+        fig = plt.figure(figsize=(9, 5))
+        ax = fig.add_subplot(111, projection=projection)
+        im = ax.pcolormesh(
+            lon_r, lat_r, fw, cmap=cmap, vmin=vmin, vmax=vmax, shading="auto"
+        )
+        ax.grid(True, alpha=0.3)
+        fig.colorbar(im, ax=ax, shrink=0.7)
+    elif projection == "orthographic":
+        lam = np.radians(lons)[None, :]
+        phi = np.radians(lats)[:, None]
+        lam0 = np.radians(center_lon)
+        phi0 = np.radians(center_lat)
+        cosc = (
+            np.sin(phi0) * np.sin(phi)
+            + np.cos(phi0) * np.cos(phi) * np.cos(lam - lam0)
+        )
+        x = np.cos(phi) * np.sin(lam - lam0)
+        y = (
+            np.cos(phi0) * np.sin(phi)
+            - np.sin(phi0) * np.cos(phi) * np.cos(lam - lam0)
+        )
+        x, y = np.broadcast_to(x, f.shape), np.broadcast_to(y, f.shape)
+        vis = cosc > 0.0
+        fig, ax = plt.subplots(figsize=(6.5, 6.5))
+        im = ax.scatter(
+            x[vis], y[vis], c=f[vis], s=4, cmap=cmap, vmin=vmin, vmax=vmax,
+            linewidths=0,
+        )
+        ax.add_patch(plt.Circle((0, 0), 1.0, fill=False, lw=0.8))
+        ax.set_xlim(-1.05, 1.05)
+        ax.set_ylim(-1.05, 1.05)
+        ax.set_aspect("equal")
+        ax.set_axis_off()
+        fig.colorbar(im, ax=ax, shrink=0.7)
+    else:
+        raise ValueError(
+            "projection must be 'equirectangular', 'mollweide', 'hammer', "
+            f"'aitoff' or 'orthographic', got {projection!r}"
+        )
     if title:
         fig.suptitle(title)
     if out_path is not None:

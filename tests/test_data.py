@@ -133,6 +133,19 @@ class TestStore:
         assert np.percentile(normed, 75) - np.percentile(normed, 25) == (
             pytest.approx(1.0, rel=1e-6))
 
+    def test_maxabs_scaler(self):
+        # sklearn MaxAbsScaler parity: x / max|x|, zero center preserved
+        rng = np.random.default_rng(12)
+        fields = rng.normal(0.0, 5.0, size=(10, 6, N, N, 2)).astype(np.float32)
+        s = MemoryStore.from_raw(fields, np.arange(10.0), ("u", "v"),
+                                 scaler="maxabs")
+        assert s.attrs["scaler"] == "maxabs"
+        assert np.all(s.mean == 0.0)
+        normed = (fields - s.mean) / s.std
+        assert np.abs(normed).max() == pytest.approx(1.0, abs=1e-6)
+        # sign structure untouched (no centering)
+        assert np.all(np.sign(normed) == np.sign(fields))
+
     def test_cell_mean_impute(self):
         # a masked cell gets ITS OWN time-mean, not the channel mean
         rng = np.random.default_rng(9)

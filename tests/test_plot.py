@@ -1,5 +1,6 @@
 """Plot helper smoke tests (Agg backend, file output)."""
 
+import pytest
 import numpy as np
 
 from dlwp_cs_tpu.plot import plot_cube_faces, plot_error_curves, plot_history
@@ -44,3 +45,35 @@ def test_bad_shape_rejected():
 
     with pytest.raises(ValueError):
         plot_cube_faces(np.zeros((5, 8, 8)))
+
+
+@pytest.mark.parametrize(
+    "projection",
+    ["equirectangular", "mollweide", "hammer", "aitoff", "orthographic"],
+)
+def test_plot_latlon_map(tmp_path, projection):
+    from dlwp_cs_tpu.plot import plot_latlon_map
+
+    lats = np.linspace(-88.0, 88.0, 45)
+    lons = np.arange(0.0, 360.0, 4.0)
+    # smooth test field: Y_2^1-ish pattern
+    f = np.sin(np.radians(lats))[:, None] * np.cos(np.radians(2 * lons))[None, :]
+    fig = plot_latlon_map(
+        f, lats, lons, projection=projection, title=projection,
+        out_path=tmp_path / f"{projection}.png",
+    )
+    assert (tmp_path / f"{projection}.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_plot_latlon_map_shape_and_projection_errors():
+    from dlwp_cs_tpu.plot import plot_latlon_map
+
+    lats = np.linspace(-80, 80, 10)
+    lons = np.linspace(0, 350, 20)
+    with pytest.raises(ValueError):
+        plot_latlon_map(np.zeros((20, 10)), lats, lons)
+    with pytest.raises(ValueError):
+        plot_latlon_map(np.zeros((10, 20)), lats, lons, projection="bogus")

@@ -31,7 +31,13 @@ from jax import lax
 from dlwp_cs_tpu.ops import packing
 from dlwp_cs_tpu.ops.ringfix import _same_conv
 
-B, CHAIN, REPEATS = 16, 50, 5
+# Timing methodology: the remote tunnel's per-dispatch latency JITTERS by
+# +-several ms, which swamps chains of 20-60 us ops (CHAIN=600 produced
+# rows ABOVE the chip's bf16 peak).  Each op is therefore timed at TWO
+# chain lengths and differenced — (T(long) - T(short)) / (long - short)
+# cancels every per-dispatch constant exactly; medians over REPEATS tame
+# the residual jitter.
+B, CHAIN_SHORT, CHAIN_LONG, REPEATS = 16, 1000, 5000, 7
 
 # (n, cin, cout) per U-Net level (encoder squares + decoder concat convs)
 SHAPES = [
@@ -51,10 +57,7 @@ def _wall(fn):
 
 def main() -> int:
     rng = np.random.default_rng(0)
-    trivial = jax.jit(lambda v: v + 1.0)
-    float(trivial(jnp.zeros(())))
-    t_over = min(_wall(lambda: float(trivial(jnp.zeros(())))) for _ in range(5))
-    print(f"platform={jax.devices()[0].platform} overhead={t_over * 1e3:.1f}ms")
+    print(f"platform={jax.devices()[0].platform}")
 
     def timed(fn, *args):
         # Anti-DCE methodology: (a) every input AND cotangent depends on the
@@ -70,17 +73,24 @@ def main() -> int:
             leaves = jax.tree.leaves(out)
             return sum(sq(t) for t in leaves) * 1e-6, None
 
-        run = jax.jit(
-            lambda a0: lax.scan(body, jnp.zeros((), jnp.float32), None,
-                                length=CHAIN)[0]
-        )
-        float(run(jnp.zeros(())))
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            float(run(jnp.zeros(())))
-            best = min(best, time.perf_counter() - t0)
-        return max((best - t_over) / CHAIN, 1e-9) * 1e6  # us
+        def chain_of(length):
+            run = jax.jit(
+                lambda a0: lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                    length=length)[0]
+            )
+            float(run(jnp.zeros(())))  # compile + warm
+            times = []
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                float(run(jnp.zeros(())))
+                times.append(time.perf_counter() - t0)
+            return float(np.median(times))
+
+        t_short = chain_of(CHAIN_SHORT)
+        t_long = chain_of(CHAIN_LONG)
+        return max(
+            (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT), 1e-9
+        ) * 1e6  # us
 
     for n, cin, cout in SHAPES:
         x = jnp.asarray(
