@@ -102,8 +102,9 @@ def cs_conv(
       stride, dilation: standard conv parameters (square).
       backend: 'auto' (ring-fix fused path for 3x3/stride-1 — SAME conv +
         O(perimeter) halo correction, the fastest formulation; else XLA),
-        'ringfix', 'xla', 'pallas' (VMEM-fused kernel, f32), or
-        'pallas_interpret' (CPU testing of the kernel).
+        'ringfix', 'xla', 'pallas' (VMEM-fused kernel), 'xring' (XLA SAME
+        conv + Pallas ring kernel — ops.ring_kernel), or the
+        '*_interpret' variants (CPU testing of the kernels).
 
     Returns ``(B, 6, n', n', Cout)`` where ``n' = n // stride`` (the halo
     supplies the boundary context, so output size is exactly ``n/stride``).
@@ -140,6 +141,23 @@ def cs_conv(
 
         return cs_conv3x3_ringfix(
             x, kernel_eq, kernel_pole, bias_eq=bias_eq, bias_pole=bias_pole
+        )
+    if backend in ("xring", "xring_interpret") and is_3x3s1 \
+            and not _pad_impl_installed():
+        # XLA SAME conv + Pallas ring kernel (ops.ring_kernel): XLA's own
+        # small-channel conv formulation for the FLOPs, one kernel for the
+        # O(perimeter) halo correction.
+        from dlwp_cs_tpu.ops.ring_kernel import cs_conv3x3_xring
+
+        cout = kernel_eq.shape[-1]
+        zb = jnp.zeros((cout,), x.dtype)
+        return cs_conv3x3_xring(
+            x,
+            kernel_eq,
+            kernel_pole,
+            zb if bias_eq is None else bias_eq,
+            zb if bias_pole is None else bias_pole,
+            backend == "xring_interpret",
         )
     if backend == "same" and is_3x3s1:
         # Perf-ablation lower bound: per-face zero-padded SAME convs with NO

@@ -1,0 +1,367 @@
+"""Pallas ring-fix kernel: the halo correction as ONE kernel per conv.
+
+Round-3's corrected micro-timing (PERF.md, tools/halo_micro.py) showed that
+XLA's plain UNPACKED SAME conv is far faster than every fused formulation's
+conv core at the U-Net's outer levels (49 us vs the Pallas kernel's 219 at
+n=48/c=32; 177 vs 686 at the decoder's 96->32), and that what keeps the
+fused paths competitive is only the cost of the ring machinery in XLA
+(~250-680 us/conv of windows/stacks/dots/selects).  This module splits the
+difference: the conv runs as XLA's own SAME conv (its best small-channel
+formulation, which block-diag packing only pessimizes), and the O(perimeter)
+ring correction — everything ``ops.ringfix.ring_term`` computes — collapses
+into one small Pallas kernel consuming the corner-extended ghost strips.
+
+    cs_conv3x3_xring(x, ...) = SAME conv (XLA)
+                             + ring_apply(ring_fixes_pallas(ext_strips(x)))
+
+Exactly the ring-fix linear map (pinned by tests/test_ring_kernel.py), so
+the measured-best training backward — the scatter-free XLA composition VJP
+through ``cs_conv3x3_ringfix`` — applies unchanged.
+
+Reference parity: CubeSpherePadding2D + CubeSphereConv2D fused
+(``DLWP/custom.py`` — SURVEY.md §2 rows 1-2); the split is TPU shaping.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax import lax
+
+from dlwp_cs_tpu.ops.halo import ext_strips
+from dlwp_cs_tpu.ops.ringfix import _same_conv, add_group_bias
+
+__all__ = ["cs_conv3x3_xring", "ring_fixes_pallas", "ring_apply"]
+
+
+def _ring_kernel(ext_ref, tq_ref, tp_ref, cq_ref, cp_ref, fix_ref, cor_ref,
+                 *, n, cin):
+    """Fixes for one (batch, face) block: 12 strip dots + 1 corner dot.
+
+    ``tq``/``tp``: (4, 3, Cin, D) per-edge per-tap matrices (equatorial /
+    polar); ``cq``/``cp``: (4*Cin, 4*D) block-diagonal corner taps, so all
+    four corner contractions are one 2-D dot (no 1-D vector ops — Mosaic
+    cannot lower them for 16-bit types).
+    """
+    f = pl.program_id(1)
+    is_eq = f < 4
+    for e in range(4):
+        strip = ext_ref[0, 0, e]  # (n+2, Cin)
+        acc = jnp.zeros((n, fix_ref.shape[-1]), jnp.float32)
+        for dy in range(3):
+            taps = jnp.where(is_eq, tq_ref[e, dy], tp_ref[e, dy])  # (Cin, D)
+            acc += jax.lax.dot_general(
+                strip[dy : dy + n], taps,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        fix_ref[0, 0, e] = acc.astype(fix_ref.dtype)
+    # corners [sw, se, nw, ne] = ends of the S/N strips, contracted with the
+    # block-diagonal corner-tap matrix in ONE (1, 4C) x (4C, 4D) dot.
+    s_row = ext_ref[0, 0, 0]
+    n_row = ext_ref[0, 0, 1]
+    csrc = jnp.concatenate(
+        [s_row[0:1], s_row[n + 1 : n + 2], n_row[0:1], n_row[n + 1 : n + 2]],
+        axis=1,
+    )  # (1, 4*Cin)
+    ctaps = jnp.where(is_eq, cq_ref[...], cp_ref[...])  # (4C, 4D)
+    cor = jax.lax.dot_general(
+        csrc, ctaps,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, 4*D)
+    cor_ref[0, 0] = cor.astype(cor_ref.dtype)
+
+
+def _edge_tap_tensor(k):
+    """(3, 3, Cin, D) -> (4, 3, Cin, D): per-edge [S, N, W, E] tap rows.
+
+    Edge e's fix contracts the strip's 3 shifted slices with the kernel's
+    outside row/column — k[0] (S), k[2] (N), k[:, 0] (W), k[:, 2] (E) —
+    matching ``ops.ringfix.ring_term``'s edge_taps layout.
+    """
+    return jnp.stack([k[0], k[2], k[:, 0], k[:, 2]], axis=0)
+
+
+def _corner_taps_blockdiag(k):
+    """(3, 3, Cin, D) -> (4*Cin, 4*D) block-diag corner taps [sw, se, nw, ne]."""
+    cin, d = k.shape[2], k.shape[3]
+    ck = jnp.stack([k[0, 0], k[0, 2], k[2, 0], k[2, 2]], axis=0)  # (4, C, D)
+    eye = jnp.eye(4, dtype=k.dtype)
+    blk = jnp.einsum("ef,ecd->ecfd", eye, ck)  # rows (e, c), cols (f, d)
+    return blk.reshape(4 * cin, 4 * d)
+
+
+def ring_fixes_pallas(ext, k_eq, k_pole, *, interpret: bool = False):
+    """Edge fixes + corner corrections from the ghost strips, one kernel.
+
+    ``ext``: (B, 6, 4, n+2, Cin) from :func:`ops.halo.ext_strips`.
+    Returns ``(fixes, corners)``: (B, 6, 4, n, D) in [S, N, W, E] edge
+    order and (B, 6, 4, D) in [sw, se, nw, ne] corner order.
+    """
+    b, nf, ne, np2, cin = ext.shape
+    n = np2 - 2
+    d = k_eq.shape[-1]
+    dt = ext.dtype
+    tq = _edge_tap_tensor(k_eq).astype(dt)
+    tp = _edge_tap_tensor(k_pole).astype(dt)
+    cq = _corner_taps_blockdiag(k_eq).astype(dt)
+    cp = _corner_taps_blockdiag(k_pole).astype(dt)
+    kernel = functools.partial(_ring_kernel, n=n, cin=cin)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fixes, cor = pl.pallas_call(
+        kernel,
+        grid=(b, 6),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4, n + 2, cin), lambda i, f: (i, f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full, full, full, full,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 4, n, d), lambda i, f: (i, f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 4 * d), lambda i, f: (i, f, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 6, 4, n, d), dt),
+            jax.ShapeDtypeStruct((b, 6, 1, 4 * d), dt),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 6 * (4 * n * 3 + 4) * cin * d,
+            bytes_accessed=2 * ext.size * ext.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ext, tq, tp, cq, cp)
+    return fixes, cor.reshape(b, 6, 4, d)
+
+
+def ring_apply(base, fixes, corners):
+    """Masked perimeter add: fixes on the boundary ring, corner
+    double-counts subtracted — elementwise only, fused by XLA into one
+    pass over ``base`` (the SAME-conv output)."""
+    n = base.shape[2]
+    row = lax.broadcasted_iota(jnp.int32, (n, n), 0)[None, None, :, :, None]
+    col = lax.broadcasted_iota(jnp.int32, (n, n), 1)[None, None, :, :, None]
+    zero = jnp.zeros((), base.dtype)
+    fix_s, fix_n = fixes[:, :, 0], fixes[:, :, 1]
+    fix_w, fix_e = fixes[:, :, 2], fixes[:, :, 3]
+    c_sw, c_se = corners[:, :, 0], corners[:, :, 1]
+    c_nw, c_ne = corners[:, :, 2], corners[:, :, 3]
+    return (
+        base
+        + jnp.where(row == 0, fix_s[:, :, None, :, :], zero)
+        + jnp.where(row == n - 1, fix_n[:, :, None, :, :], zero)
+        + jnp.where(col == 0, fix_w[:, :, :, None, :], zero)
+        + jnp.where(col == n - 1, fix_e[:, :, :, None, :], zero)
+        - jnp.where((row == 0) & (col == 0), c_sw[:, :, None, None, :], zero)
+        - jnp.where((row == 0) & (col == n - 1), c_se[:, :, None, None, :], zero)
+        - jnp.where((row == n - 1) & (col == 0), c_nw[:, :, None, None, :], zero)
+        - jnp.where(
+            (row == n - 1) & (col == n - 1), c_ne[:, :, None, None, :], zero
+        )
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def cs_conv3x3_xring(x, k_eq, k_pole, b_eq, b_pole, interpret=False,
+                     backward="split"):
+    """CS conv, 3x3/stride-1: XLA SAME conv + Pallas ring kernel.
+
+    Same map as ``cs_conv3x3_ringfix`` / ``cs_pad`` + VALID conv; biases
+    required (pass zeros) so the VJP signature stays static.  ``backward``:
+    ``"split"`` (hand-derived boundary-slice cotangents — SAME-conv VJP +
+    explicit ring transpose + Eᵀ fold; grad-equivalence-tested) or
+    ``"ringfix"`` (the packed composition VJP the Pallas-kernel path uses).
+    """
+    return _xring_forward(x, k_eq, k_pole, b_eq, b_pole, interpret)
+
+
+def _xring_forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
+    base = jnp.concatenate(
+        [_same_conv(x[:, :4], k_eq), _same_conv(x[:, 4:], k_pole)], axis=1
+    )
+    ext = ext_strips(x)
+    fixes, corners = ring_fixes_pallas(ext, k_eq, k_pole, interpret=interpret)
+    out = ring_apply(base, fixes, corners)
+    return add_group_bias(out, b_eq, b_pole)
+
+
+def _xring_fwd(x, k_eq, k_pole, b_eq, b_pole, interpret, backward):
+    out = _xring_forward(x, k_eq, k_pole, b_eq, b_pole, interpret)
+    return out, (x, k_eq, k_pole, b_eq, b_pole)
+
+
+def _boundary_cotangents(g):
+    """Cotangents of (fixes, corners) under :func:`ring_apply`: the fix
+    strips receive g's boundary lines (+), the corners receive g's corner
+    cells (−).  Pure slices — no where-VJP select passes."""
+    n = g.shape[2]
+    d_fix = jnp.stack(
+        [g[:, :, 0, :, :], g[:, :, n - 1, :, :],
+         g[:, :, :, 0, :], g[:, :, :, n - 1, :]],
+        axis=2,
+    )  # (B, 6, 4, n, D) in [S, N, W, E] order
+    d_cor = -jnp.stack(
+        [g[:, :, 0, 0], g[:, :, 0, n - 1],
+         g[:, :, n - 1, 0], g[:, :, n - 1, n - 1]],
+        axis=2,
+    )  # (B, 6, 4, D) in [sw, se, nw, ne] order
+    return d_fix, d_cor
+
+
+def _ring_transpose_xla(ext, d_fix, d_cor, k_eq, k_pole):
+    """Transpose of (ext, taps) -> (fixes, corners): returns
+    ``(d_ext, dk_eq, dk_pole)`` where dk are full (3, 3, Cin, D) kernel
+    cotangents of the RING's tap usage (the SAME-conv dw adds separately).
+
+    All contractions are single dot_generals; the window transpose is three
+    shifted pads (scatter-free); tap gradients assemble by stacking slices.
+    """
+    b, _, _, np2, cin = ext.shape
+    n = np2 - 2
+    d = d_fix.shape[-1]
+    dt = ext.dtype
+    d_fix = d_fix.astype(dt)
+    d_cor = d_cor.astype(dt)
+
+    def group(vals, eq):  # face split helper
+        return vals[:, :4] if eq else vals[:, 4:]
+
+    def edge_tap_mats(k):  # (4, 3C, D)
+        return jnp.stack(
+            [k[0].reshape(3 * cin, d), k[2].reshape(3 * cin, d),
+             k[:, 0].reshape(3 * cin, d), k[:, 2].reshape(3 * cin, d)],
+            axis=0,
+        ).astype(dt)
+
+    def windows_of(ext_g):
+        win = jnp.stack(
+            [ext_g[..., 0:n, :], ext_g[..., 1:n + 1, :], ext_g[..., 2:n + 2, :]],
+            axis=-2,
+        )
+        return win.reshape(ext_g.shape[0], ext_g.shape[1], 4, n, 3 * cin)
+
+    d_ext_groups = []
+    dk_ring = []
+    for eq, k in ((True, k_eq), (False, k_pole)):
+        taps = edge_tap_mats(k)  # (4, 3C, D)
+        dfg = group(d_fix, eq)  # (B, F, 4, n, D)
+        # d_win = d_fix @ taps^T, batched over the edge dim
+        d_win = lax.dot_general(
+            dfg, taps,
+            dimension_numbers=(((4,), (2,)), ((2,), (0,))),
+        )  # (4, B, F, n, 3C)
+        d_win = jnp.moveaxis(d_win, 0, 2)  # (B, F, 4, n, 3C)
+        d_win = d_win.reshape(d_win.shape[:4] + (3, cin))
+        # window transpose: strip position s receives d_win[t, dy] for
+        # every (t, dy) with t + dy == s — three shifted zero-pads.
+        d_ext_g = (
+            jnp.pad(d_win[..., 0, :], ((0, 0),) * 3 + ((0, 2), (0, 0)))
+            + jnp.pad(d_win[..., 1, :], ((0, 0),) * 3 + ((1, 1), (0, 0)))
+            + jnp.pad(d_win[..., 2, :], ((0, 0),) * 3 + ((2, 0), (0, 0)))
+        )  # (B, F, 4, n+2, Cin)
+        # corner transpose: ends of the S/N strips fed the corner dot.
+        ck = jnp.stack(
+            [k[0, 0], k[0, 2], k[2, 0], k[2, 2]], axis=0
+        ).astype(dt)  # (4, C, D)
+        dcg = group(d_cor, eq)  # (B, F, 4, D)
+        d_csrc = lax.dot_general(
+            dcg, ck,
+            dimension_numbers=(((3,), (2,)), ((2,), (0,))),
+        )  # (4, B, F, C)
+        d_csrc = jnp.moveaxis(d_csrc, 0, 2)  # (B, F, 4, C) [sw, se, nw, ne]
+        # S strip ends: positions 0 (sw) and n+1 (se); N: 0 (nw), n+1 (ne);
+        # one zero-padded add onto the strip tensor (rows W/E untouched).
+        sw, se, nw, ne = (d_csrc[:, :, i] for i in range(4))
+        s_line = jnp.pad(sw[:, :, None, :], ((0, 0), (0, 0), (0, n + 1), (0, 0))) \
+            + jnp.pad(se[:, :, None, :], ((0, 0), (0, 0), (n + 1, 0), (0, 0)))
+        n_line = jnp.pad(nw[:, :, None, :], ((0, 0), (0, 0), (0, n + 1), (0, 0))) \
+            + jnp.pad(ne[:, :, None, :], ((0, 0), (0, 0), (n + 1, 0), (0, 0)))
+        ends = jnp.stack(
+            [s_line, n_line,
+             jnp.zeros_like(s_line), jnp.zeros_like(s_line)],
+            axis=2,
+        )
+        d_ext_groups.append(d_ext_g + ends)
+
+        # ---- tap gradients (ring part) -----------------------------------
+        win = windows_of(group(ext, eq))  # (B, F, 4, n, 3C)
+        d_taps = lax.dot_general(
+            win, dfg,
+            dimension_numbers=(((1, 3), (1, 3)), ((0, 2), (0, 2))),
+        )  # (B, 4, 3C, D) -> contracted over F, n... see dims below
+        # dims: batch (0->B? ) — contract (F=1, n=3) batch (B=0, e=2):
+        # result (B, 4, 3C, D); reduce remaining batch over B
+        d_taps = jnp.sum(d_taps, axis=0).reshape(4, 3, cin, d)
+        csrc = jnp.stack(
+            [group(ext, eq)[:, :, 0, 0], group(ext, eq)[:, :, 0, n + 1],
+             group(ext, eq)[:, :, 1, 0], group(ext, eq)[:, :, 1, n + 1]],
+            axis=2,
+        )  # (B, F, 4, C)
+        d_ck = lax.dot_general(
+            csrc, dcg,
+            dimension_numbers=(((0, 1), (0, 1)), ((2,), (2,))),
+        )  # (4, C, D)
+        # assemble the full (3, 3, C, D) ring-tap cotangent: edge taps map
+        # to k's outside row/col; corner taps overlap them at the corners.
+        dS, dN, dW, dE = (d_taps[i] for i in range(4))  # each (3, C, D)
+        dsw, dse, dnw, dne = (d_ck[i] for i in range(4))
+        z = jnp.zeros_like(dS[0])
+        row0 = jnp.stack([dS[0] + dW[0] + dsw, dS[1], dS[2] + dE[0] + dse])
+        row1 = jnp.stack([dW[1], z, dE[1]])
+        row2 = jnp.stack([dN[0] + dW[2] + dnw, dN[1], dN[2] + dE[2] + dne])
+        dk_ring.append(jnp.stack([row0, row1, row2], axis=0))
+    d_ext = jnp.concatenate(d_ext_groups, axis=1)
+    return d_ext, dk_ring[0], dk_ring[1]
+
+
+def _xring_bwd(interpret, backward, res, g):
+    x, k_eq, k_pole, b_eq, b_pole = res
+    if backward == "ringfix":
+        from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
+
+        _, pullback = jax.vjp(
+            lambda *a: cs_conv3x3_ringfix(a[0], a[1], a[2], bias_eq=a[3],
+                                          bias_pole=a[4]),
+            x, k_eq, k_pole, b_eq, b_pole,
+        )
+        return pullback(g)
+    if backward != "split":
+        raise ValueError(f"unknown xring backward {backward!r}")
+    from dlwp_cs_tpu.ops.halo import _ext_transpose
+
+    g = g.astype(x.dtype)
+    # SAME-conv part: dx and dw through XLA's own conv VJP (fast unpacked)
+    def base_of(v, ke, kp):
+        return jnp.concatenate(
+            [_same_conv(v[:, :4], ke), _same_conv(v[:, 4:], kp)], axis=1
+        )
+
+    _, pull_base = jax.vjp(base_of, x, k_eq, k_pole)
+    dx_base, dk_eq_base, dk_po_base = pull_base(g)
+    # ring part: boundary-slice cotangents -> strip-space transpose -> Eᵀ
+    ext = ext_strips(x)
+    d_fix, d_cor = _boundary_cotangents(g)
+    d_ext, dk_eq_ring, dk_po_ring = _ring_transpose_xla(
+        ext, d_fix, d_cor, k_eq, k_pole
+    )
+    dx = dx_base + _ext_transpose(d_ext)
+    g32 = g.astype(jnp.float32)
+    db_eq = jnp.sum(g32[:, :4], axis=(0, 1, 2, 3)).astype(b_eq.dtype)
+    db_po = jnp.sum(g32[:, 4:], axis=(0, 1, 2, 3)).astype(b_pole.dtype)
+    return (
+        dx,
+        dk_eq_base + dk_eq_ring.astype(dk_eq_base.dtype),
+        dk_po_base + dk_po_ring.astype(dk_po_base.dtype),
+        db_eq,
+        db_po,
+    )
+
+
+cs_conv3x3_xring.defvjp(_xring_fwd, _xring_bwd)

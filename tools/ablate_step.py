@@ -83,6 +83,16 @@ def main() -> int:
     if "--backends" in sys.argv or "--all" in sys.argv:
         variants += [(b, "xla") for b in ("pallas", "ringfix")]
         variants += [("auto", "xla+packbase")]
+    if "--packoff" in sys.argv:
+        # A/B the packed-resident model against forced-unpacked variants:
+        # tools/bwd_micro.py's corrected timing shows XLA's UNPACKED SAME
+        # conv beats the block-diag packed conv at the outer levels, so the
+        # model-level packing may be a net pessimization on the XLA paths.
+        variants += [("auto", "xla+packoff"), ("ringfix", "xla+packoff")]
+    if "--xring" in sys.argv:
+        # XLA SAME conv + Pallas ring kernel (ops.ring_kernel); the model
+        # stays unpacked by construction (the pack gate excludes 'xring')
+        variants += [("xring", "xla")]
     if "--all" in sys.argv:
         # measured-dead backward modes (PERF.md): compile-expensive, opt-in
         variants += [("pallas", "hybrid"), ("pallas", "fused")]
@@ -99,9 +109,13 @@ def main() -> int:
                 return s, m["loss"]
 
             # None = AUTO (the production default); the +packbase tag
-            # forces True for A/B against a forced-False row if added
-            packbase = True if bwd.endswith("+packbase") else None
-            bwd_mode = bwd.replace("+packbase", "")
+            # forces True, +packoff forces False (unpacked model A/B)
+            packbase = None
+            if bwd.endswith("+packbase"):
+                packbase = True
+            elif bwd.endswith("+packoff"):
+                packbase = False
+            bwd_mode = bwd.replace("+packbase", "").replace("+packoff", "")
             with use_pallas_backward(bwd_mode), use_packed_base(packbase):
                 _, losses = lax.scan(body, state, None, length=CHAIN)
             return losses[-1]
@@ -110,19 +124,23 @@ def main() -> int:
         state = init_state(params, opt)
         tag = backend if bwd == "xla" else f"{backend}+{bwd}"
         results[f"train/{tag}"] = time_chain(run_train, state)
-        if bwd != "xla":
+        if bwd not in ("xla", "xla+packoff"):
             continue
+        fwd_packbase = False if bwd.endswith("+packoff") else None
 
         @jax.jit
-        def run_fwd(params, model=model):
+        def run_fwd(params, model=model, packbase=fwd_packbase):
+            from dlwp_cs_tpu.ops.ringfix import use_packed_base
+
             def body(c, _):
-                out = model.apply(params, x + c)
+                with use_packed_base(packbase):
+                    out = model.apply(params, x + c)
                 return jnp.mean(out), None
 
             c, _ = lax.scan(body, jnp.zeros((), x.dtype), None, length=CHAIN)
             return c
 
-        results[f"fwd/{backend}"] = time_chain(run_fwd, params)
+        results[f"fwd/{tag}"] = time_chain(run_fwd, params)
 
     print(f"platform={jax.devices()[0].platform} overhead={t_over * 1e3:.1f}ms")
     for k, v in results.items():

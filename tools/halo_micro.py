@@ -105,6 +105,58 @@ def main() -> int:
             )
         # production Pallas conv (internal per-conv packing incl. transposes)
         row("pallas/fwd", lambda c: cs_conv3x3_pallas(xc(c), ke, kp, zb, zb))
+
+        # ---- ring_term dissection: fixes computation vs masked-add apply --
+        # (which of the two holds ring_term's cost decides whether a Pallas
+        # ring kernel or an application rewrite is the right fix)
+        ext0 = ext_strips(x)
+
+        def fixes_of(ext):
+            b_, nf, _, np2, cc = ext.shape
+            nn = np2 - 2
+            win = jnp.stack(
+                [ext[..., 0:nn, :], ext[..., 1:nn + 1, :], ext[..., 2:nn + 2, :]],
+                axis=-2,
+            ).reshape(b_, 6, 4, nn, 3 * cc)
+
+            def edge_taps(k):
+                return jnp.stack(
+                    [k[0].reshape(3 * cin, -1), k[2].reshape(3 * cin, -1),
+                     k[:, 0].reshape(3 * cin, -1), k[:, 2].reshape(3 * cin, -1)],
+                    axis=0,
+                )
+
+            def group_fix(win_g, taps_g):
+                return jax.lax.dot_general(
+                    win_g, taps_g.astype(win_g.dtype),
+                    dimension_numbers=(((4,), (1,)), ((2,), (0,))),
+                )
+
+            fe = group_fix(win[:, :4], edge_taps(ke))
+            fp = group_fix(win[:, 4:], edge_taps(kp))
+            return jnp.concatenate([fe, fp], axis=2)  # (4, B, 6, n, D)
+
+        row("ring/fixes-only", lambda c: fixes_of(ext0 + c.astype(x.dtype)),
+            mult=0)
+        fixes0 = fixes_of(ext0)
+        base0 = jnp.zeros((B, 6, n, n, cout), x.dtype)
+
+        def apply_of(c):
+            fx = fixes0 + c.astype(x.dtype)
+            row_i = jax.lax.broadcasted_iota(
+                jnp.int32, (n, n), 0)[None, None, :, :, None]
+            col_i = jax.lax.broadcasted_iota(
+                jnp.int32, (n, n), 1)[None, None, :, :, None]
+            zero = jnp.zeros((), x.dtype)
+            return (
+                base0
+                + jnp.where(row_i == 0, fx[0][:, :, None, :, :], zero)
+                + jnp.where(row_i == n - 1, fx[1][:, :, None, :, :], zero)
+                + jnp.where(col_i == 0, fx[2][:, :, :, None, :], zero)
+                + jnp.where(col_i == n - 1, fx[3][:, :, :, None, :], zero)
+            )
+
+        row("ring/apply-only", lambda c: apply_of(c), mult=0)
     return 0
 
 
