@@ -95,7 +95,7 @@ _BWD_MODE: contextvars.ContextVar = contextvars.ContextVar(
     "cs_conv3x3_pallas_bwd", default="xla"
 )
 
-_BWD_MODES = ("xla", "packdw", "hybrid", "fused")
+_BWD_MODES = ("xla", "split", "packdw", "hybrid", "fused")
 
 
 @contextlib.contextmanager
@@ -600,6 +600,13 @@ def _bwd(interpret, fused_backward, res, g):
         # VJP; the unused primal is dead-code-eliminated by XLA).
         _, pullback = jax.vjp(_xla_reference, x, k_eq, k_pole, b_eq, b_pole)
         return pullback(g)
+    if mode == "split":
+        # Hand-derived split VJP (ops.ring_kernel): XLA's own SAME-conv VJP
+        # (unpacked — the corrected micro-timing's winner) + explicit ring
+        # transpose + scatter-free Eᵀ fold.
+        from dlwp_cs_tpu.ops.ring_kernel import split_vjp
+
+        return split_vjp(x, k_eq, k_pole, b_eq, b_pole, g)
     if mode == "packdw":
         # Decomposed backward: dx through the full composition VJP as in
         # "xla" (the fix-transpose machinery has no cheaper form), but the

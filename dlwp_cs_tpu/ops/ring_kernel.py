@@ -35,46 +35,53 @@ from jax import lax
 from dlwp_cs_tpu.ops.halo import ext_strips
 from dlwp_cs_tpu.ops.ringfix import _same_conv, add_group_bias
 
-__all__ = ["cs_conv3x3_xring", "ring_fixes_pallas", "ring_apply"]
+__all__ = ["cs_conv3x3_xring", "ring_fixes_pallas", "ring_apply", "split_vjp"]
 
 
 def _ring_kernel(ext_ref, tq_ref, tp_ref, cq_ref, cp_ref, fix_ref, cor_ref,
                  *, n, cin):
-    """Fixes for one (batch, face) block: 12 strip dots + 1 corner dot.
+    """Fixes for ALL batch items of one face: 12 batched dots + 4 corner dots.
+
+    Grid is ``(6,)`` over faces only: a per-(batch, face) grid made the
+    launch/DMA overhead dominate the tiny per-step work (625 us/conv at
+    n=48/c=32, measured); batching the B rows into each dot amortizes it.
 
     ``tq``/``tp``: (4, 3, Cin, D) per-edge per-tap matrices (equatorial /
-    polar); ``cq``/``cp``: (4*Cin, 4*D) block-diagonal corner taps, so all
-    four corner contractions are one 2-D dot (no 1-D vector ops — Mosaic
-    cannot lower them for 16-bit types).
+    polar); ``cq``/``cp``: (4, Cin, D) per-corner taps.  Corners are four
+    separate (B, C) x (C, D) dots written at lane offsets of the (B, 4D)
+    output rows: a lane-CONCAT of strip rows taken from different sublane
+    offsets is unlowerable ("result/input offset mismatch on non-concat
+    dimension", hardware-bisected), while lane-offset stores are fine.
     """
-    f = pl.program_id(1)
+    d = cq_ref.shape[-1]
+    b = ext_ref.shape[0]
+    f = pl.program_id(0)
     is_eq = f < 4
     for e in range(4):
-        strip = ext_ref[0, 0, e]  # (n+2, Cin)
-        acc = jnp.zeros((n, fix_ref.shape[-1]), jnp.float32)
+        strips = ext_ref[:, 0, e]  # (B, n+2, Cin)
+        acc = jnp.zeros((b * n, fix_ref.shape[-1]), jnp.float32)
         for dy in range(3):
             taps = jnp.where(is_eq, tq_ref[e, dy], tp_ref[e, dy])  # (Cin, D)
             acc += jax.lax.dot_general(
-                strip[dy : dy + n], taps,
+                strips[:, dy : dy + n, :].reshape(b * n, cin), taps,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        fix_ref[0, 0, e] = acc.astype(fix_ref.dtype)
-    # corners [sw, se, nw, ne] = ends of the S/N strips, contracted with the
-    # block-diagonal corner-tap matrix in ONE (1, 4C) x (4C, 4D) dot.
-    s_row = ext_ref[0, 0, 0]
-    n_row = ext_ref[0, 0, 1]
-    csrc = jnp.concatenate(
-        [s_row[0:1], s_row[n + 1 : n + 2], n_row[0:1], n_row[n + 1 : n + 2]],
-        axis=1,
-    )  # (1, 4*Cin)
-    ctaps = jnp.where(is_eq, cq_ref[...], cp_ref[...])  # (4C, 4D)
-    cor = jax.lax.dot_general(
-        csrc, ctaps,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, 4*D)
-    cor_ref[0, 0] = cor.astype(cor_ref.dtype)
+        fix_ref[:, 0, e] = acc.reshape(b, n, -1).astype(fix_ref.dtype)
+    # corners [sw, se, nw, ne] = ends of the S/N strips
+    s_rows = ext_ref[:, 0, 0]  # (B, n+2, Cin)
+    n_rows = ext_ref[:, 0, 1]
+    srcs = (s_rows[:, 0], s_rows[:, n + 1], n_rows[:, 0], n_rows[:, n + 1])
+    for ci, src in enumerate(srcs):
+        ct = jnp.where(is_eq, cq_ref[ci], cp_ref[ci])  # (Cin, D)
+        cor = jax.lax.dot_general(
+            src, ct,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, D)
+        cor_ref[:, 0, :, ci * d : (ci + 1) * d] = (
+            cor[:, None, :].astype(cor_ref.dtype)
+        )
 
 
 def _edge_tap_tensor(k):
@@ -87,13 +94,9 @@ def _edge_tap_tensor(k):
     return jnp.stack([k[0], k[2], k[:, 0], k[:, 2]], axis=0)
 
 
-def _corner_taps_blockdiag(k):
-    """(3, 3, Cin, D) -> (4*Cin, 4*D) block-diag corner taps [sw, se, nw, ne]."""
-    cin, d = k.shape[2], k.shape[3]
-    ck = jnp.stack([k[0, 0], k[0, 2], k[2, 0], k[2, 2]], axis=0)  # (4, C, D)
-    eye = jnp.eye(4, dtype=k.dtype)
-    blk = jnp.einsum("ef,ecd->ecfd", eye, ck)  # rows (e, c), cols (f, d)
-    return blk.reshape(4 * cin, 4 * d)
+def _corner_taps(k):
+    """(3, 3, Cin, D) -> (4, Cin, D) corner taps in [sw, se, nw, ne] order."""
+    return jnp.stack([k[0, 0], k[0, 2], k[2, 0], k[2, 2]], axis=0)
 
 
 def ring_fixes_pallas(ext, k_eq, k_pole, *, interpret: bool = False):
@@ -109,22 +112,22 @@ def ring_fixes_pallas(ext, k_eq, k_pole, *, interpret: bool = False):
     dt = ext.dtype
     tq = _edge_tap_tensor(k_eq).astype(dt)
     tp = _edge_tap_tensor(k_pole).astype(dt)
-    cq = _corner_taps_blockdiag(k_eq).astype(dt)
-    cp = _corner_taps_blockdiag(k_pole).astype(dt)
+    cq = _corner_taps(k_eq).astype(dt)
+    cp = _corner_taps(k_pole).astype(dt)
     kernel = functools.partial(_ring_kernel, n=n, cin=cin)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     fixes, cor = pl.pallas_call(
         kernel,
-        grid=(b, 6),
+        grid=(6,),
         in_specs=[
-            pl.BlockSpec((1, 1, 4, n + 2, cin), lambda i, f: (i, f, 0, 0, 0),
+            pl.BlockSpec((b, 1, 4, n + 2, cin), lambda f: (0, f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             full, full, full, full,
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, 4, n, d), lambda i, f: (i, f, 0, 0, 0),
+            pl.BlockSpec((b, 1, 4, n, d), lambda f: (0, f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 4 * d), lambda i, f: (i, f, 0, 0),
+            pl.BlockSpec((b, 1, 1, 4 * d), lambda f: (0, f, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -321,23 +324,18 @@ def _ring_transpose_xla(ext, d_fix, d_cor, k_eq, k_pole):
     return d_ext, dk_ring[0], dk_ring[1]
 
 
-def _xring_bwd(interpret, backward, res, g):
-    x, k_eq, k_pole, b_eq, b_pole = res
-    if backward == "ringfix":
-        from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
+def split_vjp(x, k_eq, k_pole, b_eq, b_pole, g):
+    """Hand-derived VJP of the CS conv linear map: SAME-conv VJP (XLA's
+    own, fast unpacked) + explicit ring transpose + scatter-free Eᵀ fold.
 
-        _, pullback = jax.vjp(
-            lambda *a: cs_conv3x3_ringfix(a[0], a[1], a[2], bias_eq=a[3],
-                                          bias_pole=a[4]),
-            x, k_eq, k_pole, b_eq, b_pole,
-        )
-        return pullback(g)
-    if backward != "split":
-        raise ValueError(f"unknown xring backward {backward!r}")
+    Valid for ANY forward that computes the same map (xring, the fused
+    Pallas kernel, ring-fix) — returns ``(dx, dk_eq, dk_pole, db_eq,
+    db_pole)``.  Grad-equivalence pinned against the pad path.
+    """
     from dlwp_cs_tpu.ops.halo import _ext_transpose
 
     g = g.astype(x.dtype)
-    # SAME-conv part: dx and dw through XLA's own conv VJP (fast unpacked)
+
     def base_of(v, ke, kp):
         return jnp.concatenate(
             [_same_conv(v[:, :4], ke), _same_conv(v[:, 4:], kp)], axis=1
@@ -362,6 +360,22 @@ def _xring_bwd(interpret, backward, res, g):
         db_eq,
         db_po,
     )
+
+
+def _xring_bwd(interpret, backward, res, g):
+    x, k_eq, k_pole, b_eq, b_pole = res
+    if backward == "ringfix":
+        from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
+
+        _, pullback = jax.vjp(
+            lambda *a: cs_conv3x3_ringfix(a[0], a[1], a[2], bias_eq=a[3],
+                                          bias_pole=a[4]),
+            x, k_eq, k_pole, b_eq, b_pole,
+        )
+        return pullback(g)
+    if backward != "split":
+        raise ValueError(f"unknown xring backward {backward!r}")
+    return split_vjp(x, k_eq, k_pole, b_eq, b_pole, g)
 
 
 cs_conv3x3_xring.defvjp(_xring_fwd, _xring_bwd)

@@ -86,7 +86,7 @@ class TestForwardEquivalence:
 
 
 class TestBackwardEquivalence:
-    @pytest.mark.parametrize("fused", [False, True, "hybrid", "packdw"])
+    @pytest.mark.parametrize("fused", [False, True, "hybrid", "packdw", "split"])
     @pytest.mark.parametrize("n,cin,cout", [(8, 3, 4), (16, 5, 3)])
     def test_grads_match_xla_shapes(self, n, cin, cout, fused):
         x = _rand((2, 6, n, n, cin), seed=18)
