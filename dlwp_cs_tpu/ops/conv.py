@@ -202,11 +202,23 @@ def cs_conv(
     # 22 -> 29 ms/step packed (the padded-tensor relayouts dominate).
     # Packing lives where it wins: the fused Pallas forward and the
     # ring-fix composition (ops.packing for the measured story).
+    from dlwp_cs_tpu.ops.ringfix import add_group_bias, face_select
+
+    if backend != "xla":
+        # Production fall-through (e.g. the 1x1 head under pallas/ringfix/
+        # xring): dual-base — two full 6-face convs + fused face select.
+        # The face-slice + concat structure below measured 437 vs 105.7
+        # us/conv at n=48/c=32 (tools/groupconv_micro.py); the explicit
+        # 'xla' backend keeps it as the faithful reference-style baseline
+        # (the reference dispatches its weight groups separately).
+        out = face_select(
+            _group_conv(xp, kernel_eq, stride, dilation),
+            _group_conv(xp, kernel_pole, stride, dilation),
+        )
+        return add_group_bias(out, bias_eq, bias_pole)
     eq = _group_conv(xp[:, :4], kernel_eq, stride, dilation)
     pole = _group_conv(xp[:, 4:], kernel_pole, stride, dilation)
     out = jnp.concatenate([eq, pole], axis=1)
-    from dlwp_cs_tpu.ops.ringfix import add_group_bias
-
     return add_group_bias(out, bias_eq, bias_pole)
 
 

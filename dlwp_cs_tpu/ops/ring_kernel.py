@@ -6,13 +6,20 @@ conv core at the U-Net's outer levels (49 us vs the Pallas kernel's 219 at
 n=48/c=32; 177 vs 686 at the decoder's 96->32), and that what keeps the
 fused paths competitive is only the cost of the ring machinery in XLA
 (~250-680 us/conv of windows/stacks/dots/selects).  This module splits the
-difference: the conv runs as XLA's own SAME conv (its best small-channel
-formulation, which block-diag packing only pessimizes), and the O(perimeter)
-ring correction — everything ``ops.ringfix.ring_term`` computes — collapses
-into one small Pallas kernel consuming the corner-extended ghost strips.
+difference: the convs run as XLA's own SAME convs (its best small-channel
+formulation, which block-diag packing only pessimizes), structured as TWO
+full 6-face convs (the face-slice + concat structure measured 437 us/conv
+at the outer level vs 105.7 for dual convs — tools/groupconv_micro.py),
+and ONE Pallas kernel does the weight-group select, the O(perimeter) ring
+fixes, and the boundary masked-add in VMEM:
 
-    cs_conv3x3_xring(x, ...) = SAME conv (XLA)
-                             + ring_apply(ring_fixes_pallas(ext_strips(x)))
+    cs_conv3x3_xring(x, ...) = xring_fused_apply(conv6(x, k_eq),
+                                                 conv6(x, k_pole),
+                                                 ext_strips(x))
+
+(The unfused pieces — ``ring_fixes_pallas`` + ``ring_apply`` — stay
+exported: the separate XLA apply pass measured 142 us of unfused
+where-adds, the motivation for the fused kernel.)
 
 Exactly the ring-fix linear map (pinned by tests/test_ring_kernel.py), so
 the measured-best training backward — the scatter-free XLA composition VJP
@@ -35,7 +42,13 @@ from jax import lax
 from dlwp_cs_tpu.ops.halo import ext_strips
 from dlwp_cs_tpu.ops.ringfix import _same_conv, add_group_bias
 
-__all__ = ["cs_conv3x3_xring", "ring_fixes_pallas", "ring_apply", "split_vjp"]
+__all__ = [
+    "cs_conv3x3_xring",
+    "ring_fixes_pallas",
+    "ring_apply",
+    "split_vjp",
+    "xring_fused_apply",
+]
 
 
 def _ring_kernel(ext_ref, tq_ref, tp_ref, cq_ref, cp_ref, fix_ref, cor_ref,
@@ -171,6 +184,117 @@ def ring_apply(base, fixes, corners):
     )
 
 
+def _fused_kernel(beq_ref, bpo_ref, ext_ref, tq_ref, tp_ref, cq_ref, cp_ref,
+                  out_ref, *, n, cin):
+    """Fused select + ring apply for one (batch-chunk, face) block.
+
+    Inputs: the TWO full-face SAME-conv outputs (equatorial / polar
+    weights), the ghost strips, and the tap matrices.  The block's output
+    is ``select(base) + masked ring`` — the fix dots AND the boundary
+    masked-add happen in VMEM (value-level ``where`` adds; sublane-indexed
+    column STORES are the thing Mosaic cannot lower for 16-bit, value ops
+    are fine — same trick as ops.pallas_conv._kernel).
+    """
+    import jax.lax as lax
+
+    d = cq_ref.shape[-1]
+    bb = ext_ref.shape[0]
+    f = pl.program_id(1)
+    is_eq = f < 4
+    base = jnp.where(is_eq, beq_ref[:, 0], bpo_ref[:, 0])  # (bb, n, n, D)
+    acc = base.astype(jnp.float32)
+    row = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)[None]
+    col = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)[None]
+    masks = (row == 0, row == n - 1, col == 0, col == n - 1)
+    fixes = []
+    for e in range(4):
+        strips = ext_ref[:, 0, e]  # (bb, n+2, Cin)
+        fe = jnp.zeros((bb * n, d), jnp.float32)
+        for dy in range(3):
+            taps = jnp.where(is_eq, tq_ref[e, dy], tp_ref[e, dy])  # (Cin, D)
+            fe += jax.lax.dot_general(
+                strips[:, dy : dy + n, :].reshape(bb * n, cin), taps,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        fixes.append(fe.reshape(bb, n, d))
+    # S/N fixes broadcast along columns, W/E along rows
+    acc += jnp.where(masks[0], fixes[0][:, None, :, :], 0.0)
+    acc += jnp.where(masks[1], fixes[1][:, None, :, :], 0.0)
+    acc += jnp.where(masks[2], fixes[2][:, :, None, :], 0.0)
+    acc += jnp.where(masks[3], fixes[3][:, :, None, :], 0.0)
+    # corner double-counts, subtracted at the four corner cells
+    s_rows = ext_ref[:, 0, 0]
+    n_rows = ext_ref[:, 0, 1]
+    srcs = (s_rows[:, 0], s_rows[:, n + 1], n_rows[:, 0], n_rows[:, n + 1])
+    cmasks = (
+        masks[0] & masks[2], masks[0] & masks[3],
+        masks[1] & masks[2], masks[1] & masks[3],
+    )
+    for ci, (src, cm) in enumerate(zip(srcs, cmasks)):
+        ct = jnp.where(is_eq, cq_ref[ci], cp_ref[ci])  # (Cin, D)
+        cor = jax.lax.dot_general(
+            src, ct,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bb, D)
+        acc -= jnp.where(cm, cor[:, None, None, :], 0.0)
+    out_ref[:, 0] = acc.astype(out_ref.dtype)
+
+
+def _batch_chunk(b: int, n: int, d: int, cin: int, dtype_bytes: int) -> int:
+    """Largest batch chunk whose fused-kernel VMEM blocks (2 bases + ext +
+    out, double-buffered) stay within ~8 MB."""
+    per_item = (3 * n * n * d + 4 * (n + 2) * cin) * dtype_bytes * 2
+    per_item += n * n * d * 4  # f32 acc
+    bb = b
+    while bb > 1 and bb * per_item > 8 * 2**20:
+        bb //= 2
+    while b % bb:
+        bb -= 1
+    return max(bb, 1)
+
+
+def xring_fused_apply(base_eq, base_po, ext, k_eq, k_pole, *,
+                      interpret: bool = False):
+    """select(base) + ring correction in ONE kernel (select + fix dots +
+    masked apply fused; replaces ring_fixes_pallas + ring_apply + the XLA
+    face select, whose separate passes measured 142 + ~40 us at C48)."""
+    b, nf, n, _, d = base_eq.shape
+    cin = ext.shape[-1]
+    dt = base_eq.dtype
+    tq = _edge_tap_tensor(k_eq).astype(dt)
+    tp = _edge_tap_tensor(k_pole).astype(dt)
+    cq = _corner_taps(k_eq).astype(dt)
+    cp = _corner_taps(k_pole).astype(dt)
+    bb = _batch_chunk(b, n, d, cin, jnp.dtype(dt).itemsize)
+    kernel = functools.partial(_fused_kernel, n=n, cin=cin)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def blk(shape):
+        return pl.BlockSpec(shape, lambda i, f: (i,) + (f,) + (0,) * (len(shape) - 2),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, 6),
+        in_specs=[
+            blk((bb, 1, n, n, d)),
+            blk((bb, 1, n, n, d)),
+            blk((bb, 1, 4, n + 2, cin)),
+            full, full, full, full,
+        ],
+        out_specs=blk((bb, 1, n, n, d)),
+        out_shape=jax.ShapeDtypeStruct((b, 6, n, n, d), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 6 * (4 * n * 3 + 4) * cin * d,
+            bytes_accessed=3 * base_eq.size * jnp.dtype(dt).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(base_eq, base_po, ext, tq, tp, cq, cp)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def cs_conv3x3_xring(x, k_eq, k_pole, b_eq, b_pole, interpret=False,
                      backward="split"):
@@ -186,12 +310,15 @@ def cs_conv3x3_xring(x, k_eq, k_pole, b_eq, b_pole, interpret=False,
 
 
 def _xring_forward(x, k_eq, k_pole, b_eq, b_pole, interpret):
-    base = jnp.concatenate(
-        [_same_conv(x[:, :4], k_eq), _same_conv(x[:, 4:], k_pole)], axis=1
-    )
+    # dual base: TWO full 6-face convs — the face-slice + concat structure
+    # measured 437 us/conv at n=48/c=32 vs 105.7 for dual convs + select
+    # (tools/groupconv_micro.py); the select happens inside the fused
+    # kernel, which also applies the ring correction in VMEM.
+    base_eq = _same_conv(x, k_eq)
+    base_po = _same_conv(x, k_pole)
     ext = ext_strips(x)
-    fixes, corners = ring_fixes_pallas(ext, k_eq, k_pole, interpret=interpret)
-    out = ring_apply(base, fixes, corners)
+    out = xring_fused_apply(base_eq, base_po, ext, k_eq, k_pole,
+                            interpret=interpret)
     return add_group_bias(out, b_eq, b_pole)
 
 

@@ -39,7 +39,13 @@ from jax import lax
 from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
 from dlwp_cs_tpu.ops.halo import ext_strips
 
-__all__ = ["cs_conv3x3_ringfix", "ring_term", "use_packed_base"]
+__all__ = [
+    "cs_conv3x3_ringfix",
+    "face_select",
+    "ring_term",
+    "use_base_mode",
+    "use_packed_base",
+]
 
 # Batch->lane packing of the base SAME convs (ops.packing).  Default None =
 # AUTO: pack under the same trace-time condition as the fused Pallas
@@ -73,6 +79,39 @@ def _pack_base_enabled() -> bool:
     from dlwp_cs_tpu.ops.conv import _on_tpu, _pad_impl_installed
 
     return _on_tpu() and not _pad_impl_installed()
+
+# Base-conv structure: "split" (slice faces 0:4 / 4:6, conv each, concat —
+# the original) or "dual" (TWO full 6-face convs + masked face select).
+# tools/groupconv_micro.py (differenced chains, v5e): the split/concat
+# structure costs 437 us at n=48/c=32 where dual is 105.7 — the face slice
+# + concat relayouts, not the convs, dominate; dual's 1.5x extra conv
+# FLOPs are cheap at these shapes.  None = AUTO (currently "dual" on the
+# unpacked path, "split" on the packed one — packed block-diag convs are
+# wide enough that the 2x full-width dual convs lose their advantage;
+# measured in tools/bwdcomp_micro.py).
+_BASE_MODE: contextvars.ContextVar = contextvars.ContextVar(
+    "ringfix_base_mode", default=None
+)
+
+
+@contextlib.contextmanager
+def use_base_mode(mode: str | None):
+    """Within this trace, ring-fix base convs use ``mode`` ('split' |
+    'dual'; ``None`` restores AUTO)."""
+    if mode not in (None, "split", "dual"):
+        raise ValueError(f"unknown ringfix base mode {mode!r}")
+    token = _BASE_MODE.set(mode)
+    try:
+        yield
+    finally:
+        _BASE_MODE.reset(token)
+
+
+def face_select(eq_out, po_out):
+    """Per-face weight-group select: faces 0-3 take ``eq_out``, 4-5
+    ``po_out`` — one fused elementwise pass."""
+    face = lax.broadcasted_iota(jnp.int32, (6, 1, 1, 1), 0)[None]
+    return jnp.where(face < 4, eq_out, po_out)
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
@@ -115,25 +154,34 @@ def cs_conv3x3_ringfix(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):
                          jnp.dtype(x.dtype).itemsize)
     else:
         p = 1
+    mode = _BASE_MODE.get()
+    if mode is None:
+        mode = "split" if p > 1 else "dual"
     if p > 1:
         # FULLY packed composition: base convs, ghost-strip gather and fix
         # contractions all run in the packed layout; one unpack at the end.
         from dlwp_cs_tpu.ops import packing
 
         xp = packing.pack_batch(x, p)
-        out = jnp.concatenate(
-            [
-                _same_conv(xp[:, :4], packing.block_diag_taps(k_eq, p)),
-                _same_conv(xp[:, 4:], packing.block_diag_taps(k_pole, p)),
-            ],
-            axis=1,
-        )
+        ke_p = packing.block_diag_taps(k_eq, p)
+        kp_p = packing.block_diag_taps(k_pole, p)
+        if mode == "dual":
+            out = face_select(_same_conv(xp, ke_p), _same_conv(xp, kp_p))
+        else:
+            out = jnp.concatenate(
+                [_same_conv(xp[:, :4], ke_p), _same_conv(xp[:, 4:], kp_p)],
+                axis=1,
+            )
         out = out + ring_term(xp, k_eq, k_pole, pack=p)
         out = packing.unpack_batch(out, p)
     else:
-        base_eq = _same_conv(x[:, :4], k_eq)
-        base_po = _same_conv(x[:, 4:], k_pole)
-        out = jnp.concatenate([base_eq, base_po], axis=1)
+        if mode == "dual":
+            out = face_select(_same_conv(x, k_eq), _same_conv(x, k_pole))
+        else:
+            out = jnp.concatenate(
+                [_same_conv(x[:, :4], k_eq), _same_conv(x[:, 4:], k_pole)],
+                axis=1,
+            )
         out = out + ring_term(x, k_eq, k_pole)
     return add_group_bias(out, bias_eq, bias_pole)
 
