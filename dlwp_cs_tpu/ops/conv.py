@@ -121,10 +121,15 @@ def cs_conv(
     if impl is not None and is_3x3s1:
         return impl(x, kernel_eq, kernel_pole, bias_eq, bias_pole)
     if backend == "auto" and is_3x3s1 and not _pad_impl_installed():
-        # On TPU the VMEM-fused Pallas kernel is the fast path (full-model
-        # train step 13.5 vs 19.0 ms for ring-fix — PERF.md r2); elsewhere
-        # (CPU tests, interpret-free) ring-fix is the best XLA formulation.
-        if _on_tpu():
+        # On TPU the VMEM-fused Pallas kernel is the fast path where
+        # batch->lane packing can fill the MXU (full-model train step 13.5
+        # vs 19.0 ms for ring-fix — PERF.md r2).  Where packing is
+        # unavailable AND the channel counts are asymmetric (the decoder's
+        # concat convs, 96->32 / 192->64), the kernel's 9-tap dots underfill
+        # the MXU and the dual-base ring-fix composition measured FASTER
+        # (559 vs 686 us fwd at n=48 96->32 — PERF.md r3 base-structure
+        # matrix), so auto keeps those on ring-fix.
+        if _on_tpu() and not _pallas_unprofitable(x, kernel_eq):
             fused = _maybe_pallas(
                 x, kernel_eq, kernel_pole, bias_eq, bias_pole,
                 stride, dilation, "pallas",
@@ -258,6 +263,21 @@ def shard_local_region():
         yield
     finally:
         _SHARD_LOCAL.reset(token)
+
+
+def _pallas_unprofitable(x, kernel_eq) -> bool:
+    """True for 3x3 shapes where the fused Pallas kernel measured SLOWER
+    than the dual-base ring-fix composition: batch->lane packing
+    unavailable (p == 1) and a contracting channel count (the decoder's
+    concat convs, 96->32 / 192->64 — cin > cout).  Square pack=1 shapes
+    (the 128->128 bottleneck) and expanding model-packed shapes (28->128)
+    keep the kernel — its per-conv MXU fill is best there (PERF.md)."""
+    from dlwp_cs_tpu.ops.pallas_conv import _pack_factor
+
+    b, _, n, _, cin = x.shape
+    cout = kernel_eq.shape[-1]
+    p = _pack_factor(b, n, cin, cout, jnp.dtype(x.dtype).itemsize)
+    return p == 1 and cin > cout
 
 
 def _pad_impl_installed() -> bool:

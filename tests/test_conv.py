@@ -174,3 +174,24 @@ class TestLosses:
         climo = jnp.zeros_like(t)
         acc = np.asarray(anomaly_correlation(t, t, climo))
         np.testing.assert_allclose(acc, 1.0, rtol=1e-5)
+
+
+def test_pallas_unprofitable_gate():
+    """Auto-dispatch heuristic: pack=1 contracting shapes (decoder concat
+    convs) route to the dual-base ring-fix composition; packed, square, and
+    expanding shapes keep the fused Pallas kernel (PERF.md r3)."""
+    import jax.numpy as jnp
+
+    from dlwp_cs_tpu.ops.conv import _pallas_unprofitable
+
+    def flag(b, n, cin, cout):
+        x = jnp.zeros((b, 6, n, n, cin), jnp.bfloat16)
+        k = jnp.zeros((3, 3, cin, cout), jnp.bfloat16)
+        return _pallas_unprofitable(x, k)
+
+    assert flag(16, 48, 96, 32)      # decoder 96->32: ring-fix
+    assert flag(16, 24, 192, 64)     # decoder 192->64: ring-fix
+    assert not flag(16, 48, 32, 32)  # packable outer level: pallas
+    assert not flag(16, 24, 64, 64)  # packable mid level: pallas
+    assert not flag(16, 12, 128, 128)  # square bottleneck: pallas
+    assert not flag(4, 48, 28, 128)  # model-packed expanding: pallas

@@ -23,12 +23,12 @@ from _timing import diff_chain_time_us
 from dlwp_cs_tpu.ops.ring_kernel import cs_conv3x3_xring
 
 B = 16
-# the three shapes that decide the dispatch policy (the n=12 / 192->64
-# levels are small potatoes in the step and compile-expensive to add)
+# the shapes that decide the dispatch policy
 SHAPES = [
     (48, 32, 32),
     (48, 96, 32),
     (24, 64, 64),
+    (24, 192, 64),
 ]
 
 
