@@ -17,6 +17,7 @@ Subpackages
 - ``parallel``: meshes, shardings, distributed halo exchange.
 - ``train``: train step, trainer loop, callbacks-equivalents.
 - ``rollout``: autoregressive forecasting as an on-device ``lax.scan``.
+- ``serve``: production serving — batched rollout service + HTTP front end.
 - ``verify``: forecast verification metrics (RMSE/MAE/ACC, baselines).
 - ``plot``: plotting helpers.
 - ``utils``: checkpointing, logging, misc.

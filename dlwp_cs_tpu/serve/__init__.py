@@ -1,0 +1,21 @@
+"""Production serving: batched rollout service + HTTP front end.
+
+The reference framework stops at notebook-driven inference
+(``DLWP/model/extensions.py``); this subsystem is the deployment story for
+the TPU rebuild — see :mod:`dlwp_cs_tpu.serve.service`.
+"""
+
+from dlwp_cs_tpu.serve.http import (
+    ForecastHTTPServer,
+    forecast_request,
+    serve_forever,
+)
+from dlwp_cs_tpu.serve.service import ForecastService, ServiceStats
+
+__all__ = [
+    "ForecastHTTPServer",
+    "ForecastService",
+    "ServiceStats",
+    "forecast_request",
+    "serve_forever",
+]

@@ -1,0 +1,273 @@
+"""Production forecast serving: batched autoregressive inference.
+
+The reference has no serving story — its inference path is a host-driven
+``model.predict`` loop inside a notebook (``DLWP/model/extensions.py``,
+SURVEY.md §3.3).  This module is the deployment-shaped counterpart for the
+TPU rebuild: one resident model, the 56-step rollout compiled once per
+(batch-bucket, steps) as a single ``lax.scan`` executable, and a
+micro-batching front end that coalesces concurrent single-member requests
+into one device dispatch (the rollout is nearly batch-size-invariant on the
+MXU at DLWP shapes, so coalescing is ~free throughput).
+
+Request contract: a RAW (physical-units) input window ``(T_in, 6, n, n,
+C_var)`` plus its init time; the service applies the training
+normalization, rolls out, and returns denormalized fields — callers never
+see the internal scaling.
+
+Pieces:
+
+* :class:`ForecastService` — normalize → rollout → denormalize, a direct
+  ``forecast`` call and a ``submit`` future API with micro-batching.
+* :mod:`dlwp_cs_tpu.serve.http` — a stdlib HTTP front end speaking npz.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dlwp_cs_tpu.rollout.estimator import Forecast, TimeSeriesEstimator
+
+__all__ = ["ForecastService", "ServiceStats"]
+
+
+@dataclass
+class ServiceStats:
+    """Counters for observability (returned by ``ForecastService.stats``)."""
+
+    requests: int = 0
+    batches: int = 0
+    padded_members: int = 0
+    device_seconds: float = 0.0
+
+    @property
+    def mean_batch(self) -> float:
+        return self.requests / self.batches if self.batches else 0.0
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two >= n (capped at max_batch) — bounds the jit
+    cache to log2(max_batch)+1 executables per steps value."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class ForecastService:
+    """Batched rollout serving on top of a fitted/loaded ``DLWPEstimator``.
+
+    Args:
+      estimator: a fitted or loaded :class:`~dlwp_cs_tpu.estimator
+        .DLWPEstimator` (or use :meth:`load` with a checkpoint path).
+      constants: optional ``(6, n, n, K)`` normalized static channels in
+        ``DataConfig.constants`` order.  Required when the model was trained
+        with constant channels — they live in the predictor store, not the
+        checkpoint; pass them (or a store via ``constants_store``) at
+        deployment time.
+      constants_store: optional store object with ``constants`` /
+        ``constant_names`` to pull the channels from.
+      max_batch: micro-batching cap (requests per device dispatch).
+      max_wait_ms: how long the batcher holds the first request of a batch
+        while waiting for peers to coalesce.
+    """
+
+    def __init__(self, estimator, *, constants=None, constants_store=None,
+                 max_batch: int = 8, max_wait_ms: float = 5.0):
+        if estimator.state is None or estimator.stats is None:
+            raise RuntimeError("estimator has no state: fit or load it first")
+        self.config = estimator.config
+        dcfg = self.config.data
+        if constants is None and constants_store is not None:
+            names = list(constants_store.constant_names)
+            idx = [names.index(c) for c in dcfg.constants]
+            constants = np.asarray(constants_store.constants)[..., idx]
+        if len(dcfg.constants) and constants is None:
+            raise ValueError(
+                f"model uses constant channels {dcfg.constants} — pass "
+                "constants= or constants_store="
+            )
+        lat, lon = estimator.cs.cell_latlon
+        stats = estimator.stats
+        self._mean = np.asarray(stats["mean"], np.float32)
+        self._std = np.asarray(stats["std"], np.float32)
+        self._est = TimeSeriesEstimator(
+            apply_fn=estimator.model.apply,
+            params=estimator.state.params,
+            data_cfg=dcfg,
+            lat=lat,
+            lon=lon,
+            constants=None if constants is None else jnp.asarray(constants),
+            insol_mean=stats["insol_mean"],
+            insol_std=stats["insol_std"],
+        )
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.stats = ServiceStats()
+        self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._worker: threading.Thread | None = None
+        self._closed = False
+
+    @classmethod
+    def load(cls, path, **kwargs) -> "ForecastService":
+        """Build a service from a ``DLWPEstimator.save`` checkpoint dir."""
+        from dlwp_cs_tpu.estimator import DLWPEstimator
+
+        return cls(DLWPEstimator.load(Path(path)), **kwargs)
+
+    # -- core path -----------------------------------------------------------
+    def _window_shape(self):
+        dcfg = self.config.data
+        n = dcfg.grid_n
+        return (dcfg.input_time_steps, 6, n, n, dcfg.n_variables)
+
+    def _check_window(self, window) -> np.ndarray:
+        window = np.asarray(window, np.float32)
+        want = self._window_shape()
+        if window.shape == want:
+            window = window[None]
+        elif window.ndim != 6 or window.shape[1:] != want:
+            raise ValueError(
+                f"window must be {want} or (B,) + that shape, got "
+                f"{window.shape}"
+            )
+        return window
+
+    def forecast(self, window, t0_days, *, steps: int,
+                 normalized: bool = False) -> Forecast:
+        """Synchronous forecast of one window batch.
+
+        ``window``: raw ``(T_in, 6, n, n, C_var)`` (or with a leading batch
+        dim); ``t0_days``: scalar / (B,) init times in days since
+        2000-01-01.  Returns a denormalized :class:`Forecast` unless
+        ``normalized=True`` (then both input and output stay in
+        training-normalized units).
+        """
+        window = self._check_window(window)
+        if not normalized:
+            window = (window - self._mean) / self._std
+        t0 = np.atleast_1d(np.asarray(t0_days, np.float64))
+        if t0.shape[0] == 1 and window.shape[0] > 1:
+            t0 = np.repeat(t0, window.shape[0])
+        if t0.shape[0] != window.shape[0]:
+            raise ValueError(
+                f"t0_days batch {t0.shape[0]} != window batch "
+                f"{window.shape[0]}"
+            )
+        t0_wall = time.perf_counter()
+        fc = self._est.predict(jnp.asarray(window), t0, steps=steps)
+        fields = np.asarray(fc.fields)
+        with self._lock:
+            self.stats.device_seconds += time.perf_counter() - t0_wall
+        if not normalized:
+            fields = fields * self._std + self._mean
+        return fc._replace(fields=fields)
+
+    # -- micro-batching front end ---------------------------------------------
+    def submit(self, window, t0_days, *, steps: int,
+               normalized: bool = False) -> Future:
+        """Enqueue a single-member request; returns a Future[Forecast].
+
+        Concurrent submissions with the same ``steps`` coalesce into one
+        device dispatch (padded to the next power-of-two bucket, padding
+        members discarded).  The worker thread starts lazily on first use.
+        """
+        if self._closed:
+            raise RuntimeError("service is closed")
+        window = self._check_window(window)
+        if window.shape[0] != 1:
+            raise ValueError(
+                "submit takes one member per request; use forecast() for "
+                "explicit batches"
+            )
+        fut: Future = Future()
+        self._queue.put((window, float(np.asarray(t0_days).reshape(())),
+                         int(steps), bool(normalized), fut))
+        with self._lock:
+            if self._worker is None:
+                self._worker = threading.Thread(
+                    target=self._run_worker, name="forecast-batcher",
+                    daemon=True,
+                )
+                self._worker.start()
+        return fut
+
+    def _run_worker(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            key = (item[2], item[3])  # (steps, normalized)
+            deadline = time.monotonic() + self.max_wait_s
+            stash = []
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    # sentinel mid-collection: keep draining — re-enqueue it
+                    # behind any stashed requests so they are served before
+                    # the worker exits
+                    stash.append(None)
+                    break
+                if (nxt[2], nxt[3]) == key:
+                    batch.append(nxt)
+                else:
+                    stash.append(nxt)
+            self._flush(batch, key, stash)
+
+    def _flush(self, batch, key, stash):
+        # re-enqueue mismatched-steps requests (and a deferred close
+        # sentinel, which stays behind them) for the next round first
+        for it in stash:
+            self._queue.put(it)
+        steps, normalized = key
+        windows = np.concatenate([b[0] for b in batch], axis=0)
+        t0 = np.asarray([b[1] for b in batch], np.float64)
+        bucket = _bucket(len(batch), self.max_batch)
+        pad = bucket - len(batch)
+        if pad:
+            windows = np.concatenate(
+                [windows, np.repeat(windows[-1:], pad, axis=0)], axis=0
+            )
+            t0 = np.concatenate([t0, np.repeat(t0[-1:], pad)])
+        try:
+            fc = self.forecast(windows, t0, steps=steps,
+                               normalized=normalized)
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for b in batch:
+                b[4].set_exception(e)
+            return
+        with self._lock:
+            self.stats.requests += len(batch)
+            self.stats.batches += 1
+            self.stats.padded_members += pad
+        for i, b in enumerate(batch):
+            b[4].set_result(
+                fc._replace(
+                    fields=fc.fields[i : i + 1],
+                    init_times=np.asarray([b[1]]),
+                )
+            )
+
+    def close(self):
+        """Stop the batching worker (pending requests are flushed first)."""
+        self._closed = True
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join(timeout=30)
+            self._worker = None

@@ -76,3 +76,7 @@ def test_full_example_chain(tmp_path):
     )
     assert "mesh: data=2 x spatial=2" in out
     assert "final sequence loss" in out
+    # 06: serving — HTTP server + concurrent client requests
+    out = _run("06_serve.py", "--workdir", wd, "--selftest", "--steps", "2")
+    assert "selftest ok" in out
+    assert "requests=3" in out

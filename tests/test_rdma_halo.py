@@ -74,13 +74,25 @@ def test_band_exchange_matches_ppermute(eight_devices, spatial, width):
 
 
 def test_model_forward_with_rdma_band(eight_devices):
-    """Full sharded U-Net forward with the RDMA transport under every conv."""
+    """Full sharded U-Net forward with the RDMA transport under every conv.
+
+    Runs on a data=1 x spatial=4 mesh: the data axis adds nothing to the
+    RDMA path, and the interpreter backs every virtual device with blocking
+    host-callback threads — 8 concurrent device programs full of
+    semaphore-waiting io_callbacks exhaust XLA:CPU's host thread pool on a
+    4-core box and abort the process (reproduced on a 4-CPU runner,
+    2026-08-19; 4 devices are safe there).
+    """
+    import os
+
+    if (os.cpu_count() or 1) < 4:
+        pytest.skip("interpret-mode RDMA needs >= ~1 core per device")
     cfg = UNetConfig(output_channels=2, filters=(4, 8))
     model = CubeSphereUNet(cfg)
     x = _rand((4, 6, N, N, 3), seed=2)
     params = model.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(model.apply(params, x))
-    mesh = create_mesh(data=2, spatial=4)
+    mesh = create_mesh(data=1, spatial=4)
     out = np.asarray(
         make_spatial_apply(model.apply, mesh, band_impl="rdma_interpret")(
             params, x

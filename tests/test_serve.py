@@ -1,0 +1,221 @@
+"""Serving subsystem: ForecastService batching + HTTP front end.
+
+Covers the deployment path the reference never had (SURVEY.md §3.3 is a
+host-driven notebook loop): raw-units request contract, micro-batch
+coalescing, and the npz-over-HTTP round trip.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from dlwp_cs_tpu.data import MemoryStore
+from dlwp_cs_tpu.estimator import DLWPEstimator
+from dlwp_cs_tpu.models import DataConfig, ExperimentConfig, TrainConfig, UNetConfig
+from dlwp_cs_tpu.serve import (
+    ForecastHTTPServer,
+    ForecastService,
+    forecast_request,
+)
+
+N = 8
+
+
+def _store(t=30, seed=0):
+    rng = np.random.default_rng(seed)
+    fields = rng.normal(size=(t, 6, N, N, 2)).astype(np.float32)
+    consts = rng.normal(size=(6, N, N, 1)).astype(np.float32)
+    return MemoryStore.from_raw(
+        fields,
+        np.arange(t) * 0.25,
+        ("z500", "t2m"),
+        constants=consts,
+        constant_names=("topography",),
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    cfg = ExperimentConfig(
+        data=DataConfig(
+            grid_n=N, variables=("z500", "t2m"), constants=("topography",)
+        ),
+        model=UNetConfig(filters=(4, 8)),
+        train=TrainConfig(batch_size=4, max_epochs=1, learning_rate=1e-3),
+    )
+    store = _store()
+    est = DLWPEstimator(cfg)
+    est.fit(store, verbose=False)
+    return est, store
+
+
+def _raw_window(store, init_index, t_in=2):
+    return np.asarray(store.fields[init_index - (t_in - 1) : init_index + 1])
+
+
+class TestForecastService:
+    def test_matches_estimator_forecast(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store)
+        idx = [5, 9]
+        fc_ref = est.forecast(store, init_indices=idx, steps=3)
+        want = est.denormalize(fc_ref.fields)
+
+        windows = np.stack([_raw_window(store, i) for i in idx])
+        t0 = np.asarray(store.times, np.float64)[idx]
+        fc = svc.forecast(windows, t0, steps=3)
+        assert fc.fields.shape == want.shape
+        np.testing.assert_allclose(np.asarray(fc.fields), want, atol=1e-4)
+        # normalized mode returns the raw rollout output
+        fcn = svc.forecast(
+            (windows - svc._mean) / svc._std, t0, steps=3, normalized=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(fcn.fields), np.asarray(fc_ref.fields), atol=1e-4
+        )
+
+    def test_single_member_window_accepted(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store)
+        fc = svc.forecast(_raw_window(store, 5), store.times[5], steps=2)
+        assert fc.fields.shape == (1, 4, 6, N, N, 2)
+
+    def test_submit_coalesces(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_batch=8,
+                              max_wait_ms=300.0)
+        idx = [3, 5, 7, 9]
+        futs = [
+            svc.submit(_raw_window(store, i), store.times[i], steps=2)
+            for i in idx
+        ]
+        results = [f.result(timeout=120) for f in futs]
+        # equivalence vs the direct path, member by member
+        for i, fc in zip(idx, results):
+            direct = svc.forecast(_raw_window(store, i), store.times[i], steps=2)
+            np.testing.assert_allclose(
+                np.asarray(fc.fields), np.asarray(direct.fields), atol=1e-4
+            )
+            assert fc.fields.shape[0] == 1
+            np.testing.assert_allclose(
+                np.asarray(fc.init_times), [store.times[i]]
+            )
+        assert svc.stats.requests == 4
+        # 4 submissions within the 300 ms window must not take 4 dispatches
+        assert svc.stats.batches < 4
+        svc.close()
+
+    def test_submit_mixed_steps(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_wait_ms=100.0)
+        f2 = svc.submit(_raw_window(store, 5), store.times[5], steps=2)
+        f3 = svc.submit(_raw_window(store, 5), store.times[5], steps=3)
+        assert f2.result(timeout=120).fields.shape[1] == 4
+        assert f3.result(timeout=120).fields.shape[1] == 6
+        svc.close()
+
+    def test_bad_window_shape(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store)
+        with pytest.raises(ValueError, match="window"):
+            svc.forecast(np.zeros((3, 6, N, N, 2), np.float32), 0.0, steps=1)
+
+    def test_missing_constants_rejected(self, fitted):
+        est, _ = fitted
+        with pytest.raises(ValueError, match="constant"):
+            ForecastService(est)
+
+    def test_unfitted_estimator_rejected(self):
+        cfg = ExperimentConfig(
+            data=DataConfig(grid_n=N, variables=("z500", "t2m")),
+            model=UNetConfig(filters=(4,)),
+            train=TrainConfig(batch_size=2),
+        )
+        with pytest.raises(RuntimeError, match="state"):
+            ForecastService(DLWPEstimator(cfg))
+
+    def test_load_from_checkpoint(self, fitted, tmp_path):
+        est, store = fitted
+        est.save(tmp_path / "model")
+        svc = ForecastService.load(tmp_path / "model", constants_store=store)
+        fc = svc.forecast(_raw_window(store, 5), store.times[5], steps=1)
+        direct = ForecastService(est, constants_store=store).forecast(
+            _raw_window(store, 5), store.times[5], steps=1
+        )
+        np.testing.assert_allclose(
+            np.asarray(fc.fields), np.asarray(direct.fields), atol=1e-5
+        )
+
+
+class TestHTTP:
+    @pytest.fixture()
+    def server(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_wait_ms=50.0)
+        srv = ForecastHTTPServer(svc, port=0).start()
+        yield srv, store
+        srv.stop()
+
+    def test_health_and_info(self, server):
+        import http.client
+        import json
+
+        srv, _ = server
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read()) == {"status": "ok"}
+        conn.request("GET", "/info")
+        info = json.loads(conn.getresponse().read())
+        assert info["grid_n"] == N
+        assert info["variables"] == ["z500", "t2m"]
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+        conn.close()
+
+    def test_forecast_round_trip(self, server):
+        srv, store = server
+        window = _raw_window(store, 6)
+        fields, lead, init = forecast_request(
+            "127.0.0.1", srv.port, window, float(store.times[6]), 2
+        )
+        direct = srv.service.forecast(window, store.times[6], steps=2)
+        np.testing.assert_allclose(fields, np.asarray(direct.fields), atol=1e-5)
+        np.testing.assert_allclose(lead, np.asarray(direct.lead_hours))
+        assert init.shape == (1,)
+
+    def test_concurrent_requests_coalesce(self, server):
+        srv, store = server
+        results = {}
+
+        def call(i):
+            results[i] = forecast_request(
+                "127.0.0.1", srv.port, _raw_window(store, i),
+                float(store.times[i]), 2,
+            )
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in (4, 6, 8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert set(results) == {4, 6, 8}
+        for i, (fields, _, _) in results.items():
+            direct = srv.service.forecast(
+                _raw_window(store, i), store.times[i], steps=2
+            )
+            np.testing.assert_allclose(
+                fields, np.asarray(direct.fields), atol=1e-4
+            )
+
+    def test_malformed_post_rejected(self, server):
+        import http.client
+
+        srv, _ = server
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request("POST", "/forecast", body=b"not-an-npz",
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.close()
