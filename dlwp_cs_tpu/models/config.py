@@ -46,7 +46,7 @@ class UNetConfig:
     separate_polar_weights: bool = True
     final_kernel_size: tuple[int, int] = (1, 1)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
-    conv_backend: str = "auto"  # 'auto' | 'xla' | 'pallas' | 'pallas_interpret'
+    conv_backend: str = "auto"  # 'auto'|'xla'|'pallas'|'pallas_interpret'|'int8'
 
     def __post_init__(self):
         if len(self.filters) < 1:

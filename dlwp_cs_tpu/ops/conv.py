@@ -103,7 +103,8 @@ def cs_conv(
       backend: 'auto' (ring-fix fused path for 3x3/stride-1 — SAME conv +
         O(perimeter) halo correction, the fastest formulation; else XLA),
         'ringfix', 'xla', 'pallas' (VMEM-fused kernel), 'xring' (XLA SAME
-        conv + Pallas ring kernel — ops.ring_kernel), or the
+        conv + Pallas ring kernel — ops.ring_kernel), 'int8' (quantized
+        base convs, inference/serving — ops.quant), or the
         '*_interpret' variants (CPU testing of the kernels).
 
     Returns ``(B, 6, n', n', Cout)`` where ``n' = n // stride`` (the halo
@@ -145,6 +146,15 @@ def cs_conv(
         from dlwp_cs_tpu.ops.ringfix import cs_conv3x3_ringfix
 
         return cs_conv3x3_ringfix(
+            x, kernel_eq, kernel_pole, bias_eq=bias_eq, bias_pole=bias_pole
+        )
+    if backend == "int8" and is_3x3s1 and not _pad_impl_installed():
+        # Quantized inference path (serving): int8 base convs + bf16 seam
+        # algebra — ops.quant.  Non-3x3 layers (the 1x1 head) fall through
+        # to the generic path below, like 'pallas'/'ringfix'.
+        from dlwp_cs_tpu.ops.quant import cs_conv3x3_int8
+
+        return cs_conv3x3_int8(
             x, kernel_eq, kernel_pole, bias_eq=bias_eq, bias_pole=bias_pole
         )
     if backend in ("xring", "xring_interpret") and is_3x3s1 \

@@ -73,6 +73,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "output_time_steps": dcfg.output_time_steps,
                     "step_hours": dcfg.step_hours,
                     "add_insolation": dcfg.add_insolation,
+                    "quantized": svc.quantized,
                     "stats": {
                         "requests": st.requests,
                         "batches": st.batches,

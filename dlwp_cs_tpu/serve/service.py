@@ -78,10 +78,16 @@ class ForecastService:
       max_batch: micro-batching cap (requests per device dispatch).
       max_wait_ms: how long the batcher holds the first request of a batch
         while waiting for peers to coalesce.
+      quantize: run the 3x3 convolutions in int8 (``conv_backend='int8'`` —
+        :mod:`dlwp_cs_tpu.ops.quant`): ~1.5-1.9x per conv at batched shapes
+        on v5e for a small quantization error (pinned in tests/test_quant
+        .py).  The checkpoint's bf16/f32 params are quantized at trace
+        time; nothing about persistence changes.
     """
 
     def __init__(self, estimator, *, constants=None, constants_store=None,
-                 max_batch: int = 8, max_wait_ms: float = 5.0):
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 quantize: bool = False):
         if estimator.state is None or estimator.stats is None:
             raise RuntimeError("estimator has no state: fit or load it first")
         self.config = estimator.config
@@ -99,8 +105,21 @@ class ForecastService:
         stats = estimator.stats
         self._mean = np.asarray(stats["mean"], np.float32)
         self._std = np.asarray(stats["std"], np.float32)
+        apply_fn = estimator.model.apply
+        self.quantized = bool(quantize)
+        if quantize:
+            import dataclasses as _dc
+
+            from dlwp_cs_tpu.models import build_model
+
+            # same param tree, int8 conv dispatch at apply time
+            apply_fn = build_model(
+                _dc.replace(
+                    estimator.config.resolved_model(), conv_backend="int8"
+                )
+            ).apply
         self._est = TimeSeriesEstimator(
-            apply_fn=estimator.model.apply,
+            apply_fn=apply_fn,
             params=estimator.state.params,
             data_cfg=dcfg,
             lat=lat,
