@@ -115,6 +115,19 @@ class TestForecastService:
         assert f3.result(timeout=120).fields.shape[1] == 6
         svc.close()
 
+    def test_close_flushes_pending_and_stashed(self, fitted):
+        """A close() sentinel arriving mid-collection must not strand
+        stashed mismatched-steps requests — both futures complete."""
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_wait_ms=500.0)
+        f2 = svc.submit(_raw_window(store, 5), store.times[5], steps=2)
+        f3 = svc.submit(_raw_window(store, 7), store.times[7], steps=3)
+        svc.close()  # sentinel lands while the batcher is still collecting
+        assert f2.result(timeout=120).fields.shape[1] == 4
+        assert f3.result(timeout=120).fields.shape[1] == 6
+        with pytest.raises(RuntimeError, match="closed"):
+            svc.submit(_raw_window(store, 5), store.times[5], steps=2)
+
     def test_bad_window_shape(self, fitted):
         est, store = fitted
         svc = ForecastService(est, constants_store=store)
