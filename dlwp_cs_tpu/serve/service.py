@@ -83,11 +83,18 @@ class ForecastService:
         on v5e for a small quantization error (pinned in tests/test_quant
         .py).  The checkpoint's bf16/f32 params are quantized at trace
         time; nothing about persistence changes.
+      mesh: optional device mesh — the model forward runs domain-decomposed
+        under :func:`dlwp_cs_tpu.parallel.make_spatial_apply` (batch over
+        the ``data`` axis, face rows over ``spatial``), for grids too large
+        for one chip.  Batches are padded to a multiple of the data-axis
+        size internally.  Incompatible with ``quantize`` (the sharded path
+        installs its own band conv under every 3x3 — the int8 dispatch
+        would be silently ignored, so it is rejected instead).
     """
 
     def __init__(self, estimator, *, constants=None, constants_store=None,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 quantize: bool = False):
+                 quantize: bool = False, mesh=None):
         if estimator.state is None or estimator.stats is None:
             raise RuntimeError("estimator has no state: fit or load it first")
         self.config = estimator.config
@@ -107,6 +114,12 @@ class ForecastService:
         self._std = np.asarray(stats["std"], np.float32)
         apply_fn = estimator.model.apply
         self.quantized = bool(quantize)
+        self._data_div = 1
+        if quantize and mesh is not None:
+            raise ValueError(
+                "quantize=True is incompatible with mesh= (the sharded band "
+                "conv would silently override the int8 dispatch)"
+            )
         if quantize:
             import dataclasses as _dc
 
@@ -118,6 +131,11 @@ class ForecastService:
                     estimator.config.resolved_model(), conv_backend="int8"
                 )
             ).apply
+        if mesh is not None:
+            from dlwp_cs_tpu.parallel import DATA_AXIS, make_spatial_apply
+
+            apply_fn = make_spatial_apply(apply_fn, mesh, jit=False)
+            self._data_div = int(mesh.shape[DATA_AXIS])
         self._est = TimeSeriesEstimator(
             apply_fn=apply_fn,
             params=estimator.state.params,
@@ -182,9 +200,17 @@ class ForecastService:
                 f"t0_days batch {t0.shape[0]} != window batch "
                 f"{window.shape[0]}"
             )
+        b = window.shape[0]
+        pad = (-b) % self._data_div  # mesh data-axis divisibility
+        if pad:
+            window = np.concatenate(
+                [window, np.repeat(window[-1:], pad, axis=0)], axis=0
+            )
+            t0 = np.concatenate([t0, np.repeat(t0[-1:], pad)])
         t0_wall = time.perf_counter()
         fc = self._est.predict(jnp.asarray(window), t0, steps=steps)
-        fields = np.asarray(fc.fields)
+        fields = np.asarray(fc.fields)[:b]
+        fc = fc._replace(init_times=np.asarray(fc.init_times)[:b])
         with self._lock:
             self.stats.device_seconds += time.perf_counter() - t0_wall
         if not normalized:

@@ -161,6 +161,45 @@ class TestForecastService:
         )
 
 
+class TestMeshServing:
+    def test_sharded_service_matches_single_device(self, fitted):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from dlwp_cs_tpu.parallel import create_mesh
+
+        est, store = fitted
+        mesh = create_mesh(data=2, spatial=2)
+        svc = ForecastService(est, constants_store=store)
+        svc_m = ForecastService(est, constants_store=store, mesh=mesh)
+        w = np.stack([_raw_window(store, 5), _raw_window(store, 9),
+                      _raw_window(store, 12)])
+        t0 = np.asarray(store.times)[[5, 9, 12]]
+        ref = svc.forecast(w, t0, steps=2)
+        # batch 3 is NOT divisible by data=2: exercises the internal pad
+        got = svc_m.forecast(w, t0, steps=2)
+        assert got.fields.shape == ref.fields.shape
+        np.testing.assert_allclose(
+            np.asarray(got.fields), np.asarray(ref.fields), atol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(got.init_times), t0)
+
+    def test_quantize_plus_mesh_rejected(self, fitted):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from dlwp_cs_tpu.parallel import create_mesh
+
+        est, store = fitted
+        with pytest.raises(ValueError, match="incompatible"):
+            ForecastService(
+                est, constants_store=store, quantize=True,
+                mesh=create_mesh(data=2, spatial=2),
+            )
+
+
 class TestHTTP:
     @pytest.fixture()
     def server(self, fitted):
