@@ -1,5 +1,19 @@
-"""Autoregressive rollout: on-device lax.scan forecasting."""
+"""Autoregressive rollout: on-device lax.scan forecasting (+ ensembles)."""
 
+from dlwp_cs_tpu.rollout.ensemble import (
+    EnsembleForecast,
+    EnsembleForecaster,
+    ic_perturbations,
+    make_ensemble_rollout,
+)
 from dlwp_cs_tpu.rollout.estimator import Forecast, TimeSeriesEstimator, make_rollout_fn
 
-__all__ = ["Forecast", "TimeSeriesEstimator", "make_rollout_fn"]
+__all__ = [
+    "EnsembleForecast",
+    "EnsembleForecaster",
+    "Forecast",
+    "TimeSeriesEstimator",
+    "ic_perturbations",
+    "make_ensemble_rollout",
+    "make_rollout_fn",
+]

@@ -217,6 +217,63 @@ class ForecastService:
             fields = fields * self._std + self._mean
         return fc._replace(fields=fields)
 
+    def forecast_ensemble(self, window, t0_days, *, steps: int,
+                          members: int, amplitude=0.05, key=None,
+                          antithetic: bool = True,
+                          keep_members: bool = False,
+                          normalized: bool = False):
+        """Perturbed-IC ensemble forecast of one window batch.
+
+        Same raw-units contract as :meth:`forecast`; ``amplitude`` is the
+        IC perturbation standard deviation in NORMALIZED units (scalar or
+        per-variable ``(C_var,)``).  Members fold into the batch of one
+        device dispatch (:mod:`dlwp_cs_tpu.rollout.ensemble`); returns an
+        :class:`~dlwp_cs_tpu.rollout.ensemble.EnsembleForecast` with
+        ``mean``/``spread`` (and ``members`` when kept) denormalized unless
+        ``normalized=True``.
+        """
+        window = self._check_window(window)
+        if not normalized:
+            window = (window - self._mean) / self._std
+        t0 = np.atleast_1d(np.asarray(t0_days, np.float64))
+        if t0.shape[0] == 1 and window.shape[0] > 1:
+            t0 = np.repeat(t0, window.shape[0])
+        if t0.shape[0] != window.shape[0]:
+            raise ValueError(
+                f"t0_days batch {t0.shape[0]} != window batch "
+                f"{window.shape[0]}"
+            )
+        ens = self.__dict__.get("_ens")
+        if ens is None:
+            from dlwp_cs_tpu.rollout.ensemble import EnsembleForecaster
+
+            e = self._est
+            ens = EnsembleForecaster(
+                apply_fn=e.apply_fn, params=e.params, data_cfg=e.data_cfg,
+                lat=e.lat, lon=e.lon, constants=e.constants,
+                insol_mean=e.insol_mean, insol_std=e.insol_std,
+            )
+            self.__dict__["_ens"] = ens
+        t0_wall = time.perf_counter()
+        fc = ens.predict(
+            jnp.asarray(window), t0, steps=steps, members=members,
+            amplitude=amplitude, key=key, antithetic=antithetic,
+            keep_members=keep_members,
+        )
+        mean = np.asarray(fc.mean)
+        spread = np.asarray(fc.spread)
+        mem = None if fc.members is None else np.asarray(fc.members)
+        with self._lock:
+            self.stats.device_seconds += time.perf_counter() - t0_wall
+            self.stats.requests += window.shape[0]
+            self.stats.batches += 1
+        if not normalized:
+            mean = mean * self._std + self._mean
+            spread = spread * self._std  # scale-only: spread has no offset
+            if mem is not None:
+                mem = mem * self._std + self._mean
+        return fc._replace(mean=mean, spread=spread, members=mem)
+
     # -- micro-batching front end ---------------------------------------------
     def submit(self, window, t0_days, *, steps: int,
                normalized: bool = False) -> Future:

@@ -1,6 +1,7 @@
 """Forecast verification metrics + cross-implementation oracles."""
 
 from dlwp_cs_tpu.verify.alignment import align_truth
+from dlwp_cs_tpu.verify.ensemble import crps_ensemble, rank_histogram, spread_error
 from dlwp_cs_tpu.verify.metrics import (
     acc_curve,
     climo_error,
@@ -18,6 +19,9 @@ from dlwp_cs_tpu.verify.relabel import (
 
 __all__ = [
     "align_truth",
+    "crps_ensemble",
+    "rank_histogram",
+    "spread_error",
     "OracleReport",
     "compare_to_golden",
     "FaceRelabeling",
