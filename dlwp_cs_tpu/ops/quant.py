@@ -1,9 +1,16 @@
-"""Quantized int8 cubed-sphere convolution (inference/serving path).
+"""Quantized int8 cubed-sphere convolution (inference path — measured SLOWER
+than the bf16 production path at DLWP shapes; kept selectable as the record).
 
 The v5e MXU runs int8 at 2x the bf16 rate, and XLA:TPU delivers a measured
-1.5-1.9x per conv at DLWP's batched shapes (tools/int8_micro.py, round 4) —
-so batched serving can trade a small quantization error for throughput.
-Formulation:
+1.5-1.9x per BASE conv at DLWP's batched shapes (tools/int8_micro.py).
+That did NOT survive the full model: the 14-day rollout measures 1.7-3.1x
+SLOWER than the bf16 auto path (tools/serve_bench.py + tools/int8_dissect
+.py; PERF.md round 4) because (a) dynamic per-tensor quantization is a full
+HBM pass plus a serializing amax reduce — as expensive as an entire bf16
+conv here — and (b) the bf16 seam algebra alone already exceeds the fused
+production conv's total cost at the outer levels.  DLWP at C48 is
+seam-/bandwidth-bound, not MXU-bound; int8 would pay at larger grids or
+fatter channels.  Formulation:
 
 * **base convs in int8**: dynamic per-tensor activation scale (amax/127) +
   per-output-channel symmetric weight scales, zero-padded SAME conv with

@@ -79,10 +79,14 @@ class ForecastService:
       max_wait_ms: how long the batcher holds the first request of a batch
         while waiting for peers to coalesce.
       quantize: run the 3x3 convolutions in int8 (``conv_backend='int8'`` —
-        :mod:`dlwp_cs_tpu.ops.quant`): ~1.5-1.9x per conv at batched shapes
-        on v5e for a small quantization error (pinned in tests/test_quant
-        .py).  The checkpoint's bf16/f32 params are quantized at trace
-        time; nothing about persistence changes.
+        :mod:`dlwp_cs_tpu.ops.quant`).  NOTE: measured 1.7-3.1x SLOWER
+        than the default bf16 path for the full rollout at DLWP shapes on
+        v5e (tools/serve_bench.py; PERF.md round 4 — the model is
+        seam-/bandwidth-bound, and dynamic quantization costs a full HBM
+        pass per conv).  Kept for larger-grid/fatter-channel deployments
+        and as the measured record; accuracy pinned in tests/test_quant.py.
+        The checkpoint's bf16/f32 params are quantized at trace time;
+        nothing about persistence changes.
       mesh: optional device mesh — the model forward runs domain-decomposed
         under :func:`dlwp_cs_tpu.parallel.make_spatial_apply` (batch over
         the ``data`` axis, face rows over ``spatial``), for grids too large
