@@ -5,6 +5,7 @@ The reference framework stops at notebook-driven inference
 the TPU rebuild — see :mod:`dlwp_cs_tpu.serve.service`.
 """
 
+from dlwp_cs_tpu.serve.export import ExportedForecaster, export_forecaster
 from dlwp_cs_tpu.serve.http import (
     ForecastHTTPServer,
     forecast_request,
@@ -13,9 +14,11 @@ from dlwp_cs_tpu.serve.http import (
 from dlwp_cs_tpu.serve.service import ForecastService, ServiceStats
 
 __all__ = [
+    "ExportedForecaster",
     "ForecastHTTPServer",
     "ForecastService",
     "ServiceStats",
+    "export_forecaster",
     "forecast_request",
     "serve_forever",
 ]
