@@ -8,6 +8,7 @@ the TPU rebuild — see :mod:`dlwp_cs_tpu.serve.service`.
 from dlwp_cs_tpu.serve.export import ExportedForecaster, export_forecaster
 from dlwp_cs_tpu.serve.http import (
     ForecastHTTPServer,
+    ensemble_request,
     forecast_request,
     serve_forever,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "ForecastHTTPServer",
     "ForecastService",
     "ServiceStats",
+    "ensemble_request",
     "export_forecaster",
     "forecast_request",
     "serve_forever",

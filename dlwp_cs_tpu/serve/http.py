@@ -9,6 +9,11 @@ dtypes, streams well):
   C)`` raw fields, ``t0_days`` scalar, ``steps`` scalar int, optional
   ``normalized`` scalar bool; response npz with ``fields`` ``(1, steps*T_out,
   6, n, n, C)``, ``lead_hours``, ``init_times``.
+* ``POST /ensemble`` — same request plus ``members`` scalar int, optional
+  ``amplitude`` (scalar or per-variable), ``seed`` scalar int,
+  ``keep_members`` scalar bool; response npz with ``mean``/``spread``
+  (``(1, steps*T_out, 6, n, n, C)``), ``lead_hours``, ``init_times``, and
+  ``members`` when kept.
 
 Concurrent POSTs coalesce on the service's micro-batcher: the server is
 threaded, each handler blocks on its request's future while the batcher
@@ -27,7 +32,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-__all__ = ["ForecastHTTPServer", "forecast_request", "serve_forever"]
+__all__ = [
+    "ForecastHTTPServer",
+    "ensemble_request",
+    "forecast_request",
+    "serve_forever",
+]
 
 
 def _npz_bytes(**arrays) -> bytes:
@@ -86,6 +96,8 @@ class _Handler(BaseHTTPRequestHandler):
         return self._reply_json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
+        if self.path == "/ensemble":
+            return self._do_ensemble()
         if self.path != "/forecast":
             return self._reply_json(404, {"error": f"unknown path {self.path}"})
         try:
@@ -111,6 +123,42 @@ class _Handler(BaseHTTPRequestHandler):
             init_times=np.asarray(fc.init_times, np.float64),
         )
         self._reply(200, body, "application/octet-stream")
+
+    def _do_ensemble(self):
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if not 0 < length <= self.max_body:
+                raise ValueError(f"bad Content-Length {length}")
+            with np.load(io.BytesIO(self.rfile.read(length))) as z:
+                window = z["window"]
+                t0_days = float(z["t0_days"])
+                steps = int(z["steps"])
+                members = int(z["members"])
+                amplitude = np.asarray(z["amplitude"]) if "amplitude" in z else 0.05
+                seed = int(z["seed"]) if "seed" in z else 0
+                keep = bool(z["keep_members"]) if "keep_members" in z else False
+                normalized = bool(z["normalized"]) if "normalized" in z else False
+        except Exception as e:  # noqa: BLE001 — malformed request
+            return self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+        try:
+            import jax
+
+            fc = self.service.forecast_ensemble(
+                window, t0_days, steps=steps, members=members,
+                amplitude=amplitude, key=jax.random.PRNGKey(seed),
+                keep_members=keep, normalized=normalized,
+            )
+        except Exception as e:  # noqa: BLE001 — model/shape errors
+            return self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+        arrays = {
+            "mean": np.asarray(fc.mean, np.float32),
+            "spread": np.asarray(fc.spread, np.float32),
+            "lead_hours": np.asarray(fc.lead_hours, np.float64),
+            "init_times": np.asarray(fc.init_times, np.float64),
+        }
+        if fc.members is not None:
+            arrays["members"] = np.asarray(fc.members, np.float32)
+        self._reply(200, _npz_bytes(**arrays), "application/octet-stream")
 
 
 class ForecastHTTPServer:
@@ -176,19 +224,47 @@ def forecast_request(host: str, port: int, window, t0_days: float,
         steps=np.int64(steps),
         normalized=np.bool_(normalized),
     )
+    with np.load(io.BytesIO(_post(host, port, "/forecast", body, timeout))) as z:
+        return z["fields"], z["lead_hours"], z["init_times"]
+
+
+def ensemble_request(host: str, port: int, window, t0_days: float,
+                     steps: int, members: int, *, amplitude=0.05,
+                     seed: int = 0, keep_members: bool = False,
+                     normalized: bool = False, timeout: float = 300.0):
+    """Client helper: POST one ensemble request, return a dict of numpy
+    arrays (``mean``, ``spread``, ``lead_hours``, ``init_times``, and
+    ``members`` when requested)."""
+    body = _npz_bytes(
+        window=np.asarray(window, np.float32),
+        t0_days=np.float64(t0_days),
+        steps=np.int64(steps),
+        members=np.int64(members),
+        amplitude=np.asarray(amplitude, np.float32),
+        seed=np.int64(seed),
+        keep_members=np.bool_(keep_members),
+        normalized=np.bool_(normalized),
+    )
+    with np.load(io.BytesIO(_post(host, port, "/ensemble", body, timeout))) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _post(host: str, port: int, path: str, body: bytes,
+          timeout: float) -> bytes:
+    import http.client
+
     conn = http.client.HTTPConnection(host, port, timeout=timeout)
     try:
         conn.request(
-            "POST", "/forecast", body=body,
+            "POST", path, body=body,
             headers={"Content-Type": "application/octet-stream"},
         )
         resp = conn.getresponse()
         data = resp.read()
         if resp.status != 200:
             raise RuntimeError(
-                f"forecast request failed ({resp.status}): {data[:500]!r}"
+                f"{path} request failed ({resp.status}): {data[:500]!r}"
             )
-        with np.load(io.BytesIO(data)) as z:
-            return z["fields"], z["lead_hours"], z["init_times"]
+        return data
     finally:
         conn.close()

@@ -195,6 +195,54 @@ class TestServiceEnsemble:
         assert float(np.max(ens2.spread)) > 0
         assert svc.stats.requests >= 2
 
+    def test_http_ensemble_roundtrip(self):
+        from dlwp_cs_tpu.serve import ForecastHTTPServer, ensemble_request
+
+        rng = np.random.default_rng(6)
+        t = 20
+        fields = rng.normal(size=(t, 6, N, N, 2)).astype(np.float32)
+        store = MemoryStore.from_raw(
+            fields, np.arange(t) * 0.25, ("z500", "t2m")
+        )
+        cfg = ExperimentConfig(
+            data=DataConfig(grid_n=N, variables=("z500", "t2m"), constants=()),
+            model=UNetConfig(filters=(4, 8)),
+            train=TrainConfig(batch_size=4, max_epochs=1),
+        )
+        est = DLWPEstimator(cfg)
+        est.fit(store, verbose=False)
+        svc = ForecastService(est)
+        srv = ForecastHTTPServer(svc).start()
+        try:
+            window = np.asarray(store.fields[4:6])
+            t0 = float(store.times[5])
+            direct = svc.forecast_ensemble(
+                window, t0, steps=2, members=3, amplitude=0.05,
+                key=jax.random.PRNGKey(2), keep_members=True,
+            )
+            got = ensemble_request(
+                "127.0.0.1", srv.port, window, t0, 2, 3,
+                amplitude=0.05, seed=2, keep_members=True,
+            )
+            np.testing.assert_allclose(
+                got["mean"], np.asarray(direct.mean), rtol=1e-5, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                got["spread"], np.asarray(direct.spread), rtol=1e-5,
+                atol=1e-5,
+            )
+            assert got["members"].shape == direct.members.shape
+            # malformed request -> clean 400
+            import http.client
+
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+            conn.request("POST", "/ensemble", body=b"junk",
+                         headers={"Content-Length": "4"})
+            assert conn.getresponse().status == 400
+            conn.close()
+        finally:
+            srv.stop()
+
 
 class TestCRPS:
     def test_deterministic_ensemble_equals_mae(self):
