@@ -80,3 +80,11 @@ def test_full_example_chain(tmp_path):
     out = _run("06_serve.py", "--workdir", wd, "--selftest", "--steps", "2")
     assert "selftest ok" in out
     assert "requests=3" in out
+    # 07: ensemble forecast + AOT export round trip
+    out = _run(
+        "07_ensemble_export.py",
+        "--workdir", wd, "--members", "4", "--steps", "2",
+    )
+    assert "ensemble+export ok" in out
+    assert "crps=" in out
+    assert (tmp_path / "rollout_artifact" / "meta.json").exists()
