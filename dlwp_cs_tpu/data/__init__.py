@@ -7,7 +7,13 @@ from dlwp_cs_tpu.data.grib2 import Grib2Record, read_grib2
 from dlwp_cs_tpu.data.prefetch import PrefetchIterator, prefetch_to_device
 from dlwp_cs_tpu.data.preprocessing import Preprocessor
 from dlwp_cs_tpu.data.series import SeriesDataset, insolation_stats
-from dlwp_cs_tpu.data.store import H5Store, MemoryStore, open_store, write_store
+from dlwp_cs_tpu.data.store import (
+    H5Store,
+    MemoryStore,
+    open_store,
+    select_constants,
+    write_store,
+)
 from dlwp_cs_tpu.data.tscache import TSStore, open_ts_cache, write_ts_cache
 
 __all__ = [
@@ -29,6 +35,7 @@ __all__ = [
     "H5Store",
     "MemoryStore",
     "open_store",
+    "select_constants",
     "write_store",
     "TSStore",
     "open_ts_cache",

@@ -136,12 +136,9 @@ class SeriesDataset:
         self._mean = np.asarray(store.mean, np.float32)
         self._std = np.asarray(store.std, np.float32)
         if store.constants is not None and len(cfg.constants) > 0:
-            names = list(store.constant_names)
-            missing = [c for c in cfg.constants if c not in names]
-            if missing:
-                raise ValueError(f"constants {missing} not in store {names}")
-            idx = [names.index(c) for c in cfg.constants]
-            self.constants = np.asarray(store.constants)[..., idx]
+            from dlwp_cs_tpu.data.store import select_constants
+
+            self.constants = select_constants(store, cfg.constants)
         else:
             self.constants = None
 

@@ -214,3 +214,22 @@ class H5Store:
 
 def open_store(path) -> H5Store:
     return H5Store(path)
+
+
+def select_constants(store, names):
+    """Pull constant channels ``names`` (in order) from a store as a
+    ``(6, n, n, len(names))`` array, with a clear error for missing ones.
+    Shared by the series dataset and the serving/export layers."""
+    names = list(names)
+    if not names:
+        return None
+    if store.constants is None:
+        raise ValueError(f"store has no constants; need {names}")
+    have = list(store.constant_names)
+    missing = [c for c in names if c not in have]
+    if missing:
+        raise ValueError(f"constants {missing} not in store {have}")
+    idx = [have.index(c) for c in names]
+    import numpy as np
+
+    return np.asarray(store.constants)[..., idx]

@@ -38,13 +38,10 @@ tests/test_quant.py and PERF.md.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
-from dlwp_cs_tpu.ops.ringfix import add_group_bias, face_select, ring_term
+from dlwp_cs_tpu.ops.ringfix import _same_conv, add_group_bias, face_select, ring_term
 
 __all__ = ["cs_conv3x3_int8", "quantize_tensor", "quantize_kernel"]
-
-_DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
 def quantize_tensor(x):
@@ -67,18 +64,9 @@ def quantize_kernel(k):
 
 
 def _same_conv_int8(qx, qk):
-    """Zero-padded SAME conv, s8 x s8 -> s32, faces folded into batch."""
-    b, f = qx.shape[0], qx.shape[1]
-    merged = qx.reshape((b * f,) + qx.shape[2:])
-    out = lax.conv_general_dilated(
-        merged,
-        qk,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.int32,
-    )
-    return out.reshape((b, f) + out.shape[1:])
+    """Zero-padded SAME conv, s8 x s8 -> s32, faces folded into batch
+    (the shared ringfix helper with an s32 accumulator)."""
+    return _same_conv(qx, qk, preferred_element_type=jnp.int32)
 
 
 def cs_conv3x3_int8(x, k_eq, k_pole, *, bias_eq=None, bias_pole=None):

@@ -116,8 +116,9 @@ def face_select(eq_out, po_out):
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
-def _same_conv(xg, kernel):
-    """Zero-padded SAME conv with faces folded into batch."""
+def _same_conv(xg, kernel, preferred_element_type=None):
+    """Zero-padded SAME conv with faces folded into batch.  The accumulator
+    type defaults to the input dtype; the int8 path (ops.quant) passes s32."""
     b, f = xg.shape[0], xg.shape[1]
     merged = xg.reshape((b * f,) + xg.shape[2:])
     out = lax.conv_general_dilated(
@@ -126,7 +127,7 @@ def _same_conv(xg, kernel):
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=merged.dtype,
+        preferred_element_type=preferred_element_type or merged.dtype,
     )
     return out.reshape((b, f) + out.shape[1:])
 

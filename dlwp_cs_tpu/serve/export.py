@@ -79,9 +79,9 @@ def export_forecaster(
         raise RuntimeError("estimator has no state: fit or load it first")
     dcfg = estimator.config.data
     if constants is None and constants_store is not None:
-        names = list(constants_store.constant_names)
-        idx = [names.index(c) for c in dcfg.constants]
-        constants = np.asarray(constants_store.constants)[..., idx]
+        from dlwp_cs_tpu.data.store import select_constants
+
+        constants = select_constants(constants_store, dcfg.constants)
     if len(dcfg.constants) and constants is None:
         raise ValueError(
             f"model uses constant channels {dcfg.constants} — pass "

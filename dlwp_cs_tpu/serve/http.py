@@ -15,9 +15,11 @@ dtypes, streams well):
   (``(1, steps*T_out, 6, n, n, C)``), ``lead_hours``, ``init_times``, and
   ``members`` when kept.
 
-Concurrent POSTs coalesce on the service's micro-batcher: the server is
-threaded, each handler blocks on its request's future while the batcher
-groups same-``steps`` requests into one device dispatch.
+Concurrent ``/forecast`` POSTs coalesce on the service's micro-batcher: the
+server is threaded, each handler blocks on its request's future while the
+batcher groups same-``steps`` requests into one device dispatch.
+``/ensemble`` requests are already batched internally (members fold into
+one dispatch) and run serialized per request instead.
 
 Client helper: :func:`forecast_request` (uses ``http.client``; works against
 any host/port, no third-party HTTP stack).
@@ -64,6 +66,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _reply_json(self, code: int, obj):
+        if code >= 400:
+            # the request body may be partially/entirely unread (bad
+            # Content-Length, oversized payload): keeping the HTTP/1.1
+            # connection alive would desync the stream, so close it
+            self.close_connection = True
         self._reply(code, json.dumps(obj).encode(), "application/json")
 
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
@@ -216,8 +223,6 @@ def forecast_request(host: str, port: int, window, t0_days: float,
                      timeout: float = 300.0):
     """Client helper: POST one window, return (fields, lead_hours,
     init_times) numpy arrays."""
-    import http.client
-
     body = _npz_bytes(
         window=np.asarray(window, np.float32),
         t0_days=np.float64(t0_days),

@@ -53,6 +53,19 @@ class ServiceStats:
         return self.requests / self.batches if self.batches else 0.0
 
 
+def _resolve(fut: Future, *, result=None, error=None):
+    """Resolve a waiter's future, tolerating caller-side cancellation: a
+    cancelled Future raises InvalidStateError on set_result/set_exception,
+    which must not kill the batcher worker thread."""
+    try:
+        if error is not None:
+            fut.set_exception(error)
+        else:
+            fut.set_result(result)
+    except Exception:  # noqa: BLE001 — cancelled/already-resolved future
+        pass
+
+
 def _bucket(n: int, max_batch: int) -> int:
     """Smallest power-of-two >= n (capped at max_batch) — bounds the jit
     cache to log2(max_batch)+1 executables per steps value."""
@@ -104,9 +117,9 @@ class ForecastService:
         self.config = estimator.config
         dcfg = self.config.data
         if constants is None and constants_store is not None:
-            names = list(constants_store.constant_names)
-            idx = [names.index(c) for c in dcfg.constants]
-            constants = np.asarray(constants_store.constants)[..., idx]
+            from dlwp_cs_tpu.data.store import select_constants
+
+            constants = select_constants(constants_store, dcfg.constants)
         if len(dcfg.constants) and constants is None:
             raise ValueError(
                 f"model uses constant channels {dcfg.constants} — pass "
@@ -155,6 +168,7 @@ class ForecastService:
         self.stats = ServiceStats()
         self._queue: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
+        self._ens_lock = threading.Lock()
         self._worker: threading.Thread | None = None
         self._closed = False
 
@@ -247,30 +261,48 @@ class ForecastService:
                 f"t0_days batch {t0.shape[0]} != window batch "
                 f"{window.shape[0]}"
             )
-        ens = self.__dict__.get("_ens")
-        if ens is None:
-            from dlwp_cs_tpu.rollout.ensemble import EnsembleForecaster
+        b = window.shape[0]
+        # mesh data-axis divisibility: the rollout batch is b * members, so
+        # pad b to the smallest b' with (b' * members) % data_div == 0
+        import math
 
-            e = self._est
-            ens = EnsembleForecaster(
-                apply_fn=e.apply_fn, params=e.params, data_cfg=e.data_cfg,
-                lat=e.lat, lon=e.lon, constants=e.constants,
-                insol_mean=e.insol_mean, insol_std=e.insol_std,
+        unit = self._data_div // math.gcd(members, self._data_div)
+        pad = (-b) % unit
+        if pad:
+            window = np.concatenate(
+                [window, np.repeat(window[-1:], pad, axis=0)], axis=0
             )
-            self.__dict__["_ens"] = ens
-        t0_wall = time.perf_counter()
-        fc = ens.predict(
-            jnp.asarray(window), t0, steps=steps, members=members,
-            amplitude=amplitude, key=key, antithetic=antithetic,
-            keep_members=keep_members,
-        )
-        mean = np.asarray(fc.mean)
-        spread = np.asarray(fc.spread)
-        mem = None if fc.members is None else np.asarray(fc.members)
+            t0 = np.concatenate([t0, np.repeat(t0[-1:], pad)])
+        with self._ens_lock:
+            # one lock for lazy init AND dispatch: concurrent handler
+            # threads would otherwise duplicate the steps-long rollout
+            # compile (the device serializes execution anyway)
+            ens = self.__dict__.get("_ens")
+            if ens is None:
+                from dlwp_cs_tpu.rollout.ensemble import EnsembleForecaster
+
+                e = self._est
+                ens = EnsembleForecaster(
+                    apply_fn=e.apply_fn, params=e.params, data_cfg=e.data_cfg,
+                    lat=e.lat, lon=e.lon, constants=e.constants,
+                    insol_mean=e.insol_mean, insol_std=e.insol_std,
+                )
+                self.__dict__["_ens"] = ens
+            t0_wall = time.perf_counter()
+            fc = ens.predict(
+                jnp.asarray(window), t0, steps=steps, members=members,
+                amplitude=amplitude, key=key, antithetic=antithetic,
+                keep_members=keep_members,
+            )
+        mean = np.asarray(fc.mean)[:b]
+        spread = np.asarray(fc.spread)[:b]
+        mem = None if fc.members is None else np.asarray(fc.members)[:b]
+        fc = fc._replace(init_times=np.asarray(fc.init_times)[:b])
         with self._lock:
             self.stats.device_seconds += time.perf_counter() - t0_wall
-            self.stats.requests += window.shape[0]
+            self.stats.requests += b
             self.stats.batches += 1
+            self.stats.padded_members += pad
         if not normalized:
             mean = mean * self._std + self._mean
             spread = spread * self._std  # scale-only: spread has no offset
@@ -287,8 +319,6 @@ class ForecastService:
         device dispatch (padded to the next power-of-two bucket, padding
         members discarded).  The worker thread starts lazily on first use.
         """
-        if self._closed:
-            raise RuntimeError("service is closed")
         window = self._check_window(window)
         if window.shape[0] != 1:
             raise ValueError(
@@ -296,9 +326,14 @@ class ForecastService:
                 "explicit batches"
             )
         fut: Future = Future()
-        self._queue.put((window, float(np.asarray(t0_days).reshape(())),
-                         int(steps), bool(normalized), fut))
         with self._lock:
+            # closed-check + enqueue must be atomic against close(): an
+            # item enqueued after the close sentinel would never be served
+            # and its future would never resolve
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.put((window, float(np.asarray(t0_days).reshape(())),
+                             int(steps), bool(normalized), fut))
             if self._worker is None:
                 self._worker = threading.Thread(
                     target=self._run_worker, name="forecast-batcher",
@@ -356,24 +391,28 @@ class ForecastService:
                                normalized=normalized)
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
             for b in batch:
-                b[4].set_exception(e)
+                _resolve(b[4], error=e)
             return
         with self._lock:
             self.stats.requests += len(batch)
             self.stats.batches += 1
             self.stats.padded_members += pad
         for i, b in enumerate(batch):
-            b[4].set_result(
-                fc._replace(
+            _resolve(
+                b[4],
+                result=fc._replace(
                     fields=fc.fields[i : i + 1],
                     init_times=np.asarray([b[1]]),
-                )
+                ),
             )
 
     def close(self):
         """Stop the batching worker (pending requests are flushed first)."""
-        self._closed = True
-        if self._worker is not None:
-            self._queue.put(None)
-            self._worker.join(timeout=30)
+        with self._lock:
+            self._closed = True
+            worker = self._worker
+            if worker is not None:
+                self._queue.put(None)  # after any in-flight submit's item
+        if worker is not None:
+            worker.join(timeout=30)
             self._worker = None

@@ -185,6 +185,48 @@ class TestMeshServing:
         )
         np.testing.assert_allclose(np.asarray(got.init_times), t0)
 
+    def test_sharded_ensemble_pads_data_axis(self, fitted):
+        # regression: forecast_ensemble under mesh= crashed for member
+        # counts not divisible by the data axis (flattened B*M batch was
+        # never padded)
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from dlwp_cs_tpu.parallel import create_mesh
+
+        est, store = fitted
+        mesh = create_mesh(data=2, spatial=2)
+        svc = ForecastService(est, constants_store=store)
+        svc_m = ForecastService(est, constants_store=store, mesh=mesh)
+        w = _raw_window(store, 5)
+        t0 = float(store.times[5])
+        # B=1, members=3 -> flattened batch 3, data axis 2
+        ref = svc.forecast_ensemble(w, t0, steps=2, members=3, amplitude=0.0)
+        got = svc_m.forecast_ensemble(w, t0, steps=2, members=3,
+                                      amplitude=0.0)
+        assert got.mean.shape == ref.mean.shape
+        np.testing.assert_allclose(
+            np.asarray(got.mean), np.asarray(ref.mean), atol=1e-4
+        )
+        assert np.asarray(got.init_times).shape == (1,)
+
+    def test_cancelled_future_does_not_kill_batcher(self, fitted):
+        # regression: a caller-cancelled Future made _flush raise
+        # InvalidStateError, which terminated the worker thread and hung
+        # every later submit
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_wait_ms=200.0)
+        w = _raw_window(store, 5)
+        t0 = float(store.times[5])
+        fut = svc.submit(w, t0, steps=1)
+        cancelled = fut.cancel()  # races the batcher; either way must be safe
+        out = svc.submit(w, t0, steps=1).result(timeout=120)
+        assert np.isfinite(np.asarray(out.fields)).all()
+        if not cancelled:
+            assert np.isfinite(np.asarray(fut.result(timeout=120).fields)).all()
+        svc.close()
+
     def test_quantize_plus_mesh_rejected(self, fitted):
         import jax
 
