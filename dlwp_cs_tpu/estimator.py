@@ -173,6 +173,80 @@ class DLWPEstimator:
         t0 = np.asarray(store.times, np.float64)[init_indices]
         return est.predict(jnp.asarray(windows), t0, steps=steps)
 
+    def forecast_lagged(self, store, *, init_indices, steps: int, lags,
+                        keep_members: bool = False):
+        """Lagged-average-forecast ensemble from store samples.
+
+        Member ``m`` initializes ``lags[m]`` model steps earlier than each
+        control index (``lags[0]`` must be 0); every member rolls far
+        enough to cover the control lead times and is valid-time aligned on
+        device (:func:`dlwp_cs_tpu.rollout.make_lagged_rollout`).  Returns
+        a normalized :class:`~dlwp_cs_tpu.rollout.EnsembleForecast`.
+        """
+        if self.state is None or self.stats is None:
+            raise RuntimeError("fit or load the estimator first")
+        dcfg = self.config.data
+        t_in = dcfg.input_time_steps
+        iv = dcfg.interval
+        lags = tuple(int(g) for g in lags)
+        mean = np.asarray(self.stats["mean"], np.float32)
+        std = np.asarray(self.stats["std"], np.float32)
+        init_indices = np.asarray(init_indices)
+        need = (t_in - 1) * iv + max(lags) * iv
+        if np.any(init_indices < need):
+            bad = int(init_indices[init_indices < need][0])
+            raise ValueError(
+                f"init index {bad} needs {need} preceding store samples for "
+                f"a {t_in}-step window at interval {iv} with max lag "
+                f"{max(lags)}"
+            )
+        fields = np.asarray(store.fields)
+        win = (t_in - 1) * iv
+        windows = np.stack(
+            [
+                np.stack(
+                    [
+                        (fields[i - g * iv - win : i - g * iv + 1 : iv]
+                         - mean) / std
+                        for g in lags
+                    ]
+                )
+                for i in init_indices
+            ]
+        )  # (B, M, T_in, 6, n, n, C)
+        constants = None
+        if store.constants is not None and len(dcfg.constants):
+            from dlwp_cs_tpu.data.store import select_constants
+
+            constants = select_constants(store, dcfg.constants)
+        lat, lon = self.cs.cell_latlon
+        from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS
+        from dlwp_cs_tpu.rollout import make_lagged_rollout
+
+        key = (steps, lags, keep_members)
+        cache = self.__dict__.setdefault("_lagged_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(make_lagged_rollout(
+                self.model.apply,
+                dcfg,
+                lat=lat,
+                lon=lon,
+                constants=None if constants is None else jnp.asarray(constants),
+                insol_mean=self.stats["insol_mean"],
+                insol_std=self.stats["insol_std"],
+                steps=steps,
+                lags=lags,
+                keep_members=keep_members,
+            ))
+            cache[key] = fn
+        t0 = np.asarray(store.times, np.float64)[init_indices]
+        t0_red = np.mod(t0, INSOLATION_PERIOD_DAYS).astype(np.float32)
+        fc = fn(self.state.params, jnp.asarray(windows), t0_red)
+        return fc._replace(
+            init_times=t0, variables=tuple(dcfg.variables)
+        )
+
     def denormalize(self, fields):
         """Undo the store normalization on forecast fields."""
         mean = np.asarray(self.stats["mean"], np.float32)

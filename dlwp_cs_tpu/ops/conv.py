@@ -312,7 +312,8 @@ def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
 
     if _pad_impl_installed():
         return None
-    if not pallas_supported(x.shape, k_eq.shape[:2], stride, dilation, x.dtype):
+    if not pallas_supported(x.shape, k_eq.shape[:2], stride, dilation,
+                            x.dtype, cout=k_eq.shape[-1]):
         return None
     interpret = backend == "pallas_interpret"
     cout = k_eq.shape[-1]

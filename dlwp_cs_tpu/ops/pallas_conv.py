@@ -284,8 +284,19 @@ def vmem_estimate_bytes(
     return x + strips + out + pad + acc + k
 
 
-def pallas_supported(x_shape, kernel_size, stride, dilation, dtype) -> bool:
-    """Is the fused kernel applicable (and likely to fit VMEM)?"""
+def pallas_supported(x_shape, kernel_size, stride, dilation, dtype,
+                     cout: int | None = None) -> bool:
+    """Is the fused kernel applicable (and likely to fit VMEM)?
+
+    Besides the pipelined block estimate, Mosaic's per-step STACK holds the
+    f32 tap-accumulation temporaries, ~6 x (n*n*cout*4) bytes: the measured
+    failure is n=96, cin=12, cout=64, which compiles to a 16.12 MB scoped
+    allocation against the 16 MB limit (tools/capacity_bench.py, round 4)
+    while cout=32 at n=96 fits.  The 15 MB gate keeps every measured-good
+    shape (all n=48 production convs, C96 at cout<=32) and rejects the
+    measured-OOM ones; rejected shapes fall back to the ring-fix
+    composition.
+    """
     if tuple(kernel_size) != (3, 3) or stride != 1 or dilation != 1:
         return False
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
@@ -294,7 +305,12 @@ def pallas_supported(x_shape, kernel_size, stride, dilation, dtype) -> bool:
     if x_shape[-3] != n or n < 4:
         return False
     dtype_bytes = jnp.dtype(dtype).itemsize
-    return vmem_estimate_bytes(n, x_shape[-1], x_shape[-1], dtype_bytes) < 10 * 2**20
+    cin = x_shape[-1]
+    cout = cin if cout is None else int(cout)
+    stack = 6 * n * n * cout * 4
+    return (
+        vmem_estimate_bytes(n, cin, cout, dtype_bytes) + stack < 15 * 2**20
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

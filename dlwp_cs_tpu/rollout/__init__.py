@@ -5,6 +5,7 @@ from dlwp_cs_tpu.rollout.ensemble import (
     EnsembleForecaster,
     ic_perturbations,
     make_ensemble_rollout,
+    make_lagged_rollout,
 )
 from dlwp_cs_tpu.rollout.estimator import Forecast, TimeSeriesEstimator, make_rollout_fn
 
@@ -15,5 +16,6 @@ __all__ = [
     "TimeSeriesEstimator",
     "ic_perturbations",
     "make_ensemble_rollout",
+    "make_lagged_rollout",
     "make_rollout_fn",
 ]

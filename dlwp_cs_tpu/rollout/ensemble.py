@@ -38,6 +38,7 @@ __all__ = [
     "EnsembleForecaster",
     "ic_perturbations",
     "make_ensemble_rollout",
+    "make_lagged_rollout",
 ]
 
 
@@ -149,6 +150,103 @@ def make_ensemble_rollout(
         )
 
     return ensemble
+
+
+def make_lagged_rollout(
+    apply_fn,
+    data_cfg: DataConfig,
+    *,
+    lat,
+    lon,
+    constants=None,
+    insol_mean: float = 0.0,
+    insol_std: float = 1.0,
+    steps: int,
+    lags,
+    keep_members: bool = False,
+    unroll: int = 1,
+):
+    """Build a jittable lagged-average-forecast (LAF) ensemble rollout.
+
+    Member ``m`` is initialized ``lags[m]`` model steps (of ``step_hours``)
+    EARLIER than the control time ``t0`` and rolled far enough that every
+    member's outputs cover the control's lead times; the members are then
+    valid-time aligned on device, so ``mean``/``spread`` are proper
+    fixed-valid-time ensemble statistics.  This is the lagged-ensemble
+    design of the reference line's sub-seasonal work (Weyn et al. 2021),
+    which the reference could only assemble by hand across host-loop runs.
+
+    Returns ``lagged(params, windows, t0_days) -> EnsembleForecast`` where
+    ``windows`` is ``(B, M, T_in, 6, n, n, C)`` — member ``m``'s input
+    window ENDS at ``t0 - lags[m] * dt`` — and ``t0_days`` is the control
+    init (scalar or ``(B,)``).  ``lags`` must start at 0 (the control) and
+    be non-negative.
+    """
+    lags = tuple(int(g) for g in lags)
+    if not lags or lags[0] != 0 or any(g < 0 for g in lags):
+        raise ValueError(
+            f"lags must start at 0 (the control) and be non-negative, got "
+            f"{lags}"
+        )
+    t_out = data_cfg.output_time_steps
+    n_lead = steps * t_out
+    extra_calls = -(-max(lags) // t_out)  # ceil: cover the latest lag
+    base = make_rollout_fn(
+        apply_fn,
+        data_cfg,
+        lat=lat,
+        lon=lon,
+        constants=constants,
+        insol_mean=insol_mean,
+        insol_std=insol_std,
+        steps=steps + extra_calls,
+        unroll=unroll,
+    )
+    dt_days = data_cfg.step_hours / 24.0
+    members = len(lags)
+
+    def lagged(params, windows, t0_days) -> EnsembleForecast:
+        if windows.ndim != 7 or windows.shape[1] != members:
+            raise ValueError(
+                f"windows must be (B, {members}, T_in, 6, n, n, C), got "
+                f"{windows.shape}"
+            )
+        b = windows.shape[0]
+        flat = windows.reshape((b * members,) + windows.shape[2:])
+        t0 = jnp.asarray(t0_days, jnp.float32)
+        lag_days = jnp.asarray(lags, jnp.float32) * dt_days
+        if t0.ndim == 0:
+            t0_flat = jnp.tile(t0 - lag_days, b)
+        else:
+            t0_flat = (t0[:, None] - lag_days[None, :]).reshape(-1)
+        fc = base(params, flat, t0_flat)
+        fields = fc.fields.reshape((b, members) + fc.fields.shape[1:])
+        # member m's lead j is valid at t0 - lags[m]*dt + (j+1)*dt: the
+        # window [lags[m], lags[m] + n_lead) aligns it to the control leads
+        lag_idx = jnp.asarray(lags, jnp.int32)
+
+        def take(member_fields, g):
+            return jax.lax.dynamic_slice_in_dim(
+                member_fields, g, n_lead, axis=0
+            )
+
+        aligned = jax.vmap(  # over batch (same lags)
+            jax.vmap(take, in_axes=(0, 0)), in_axes=(0, None)
+        )(fields, lag_idx)
+        mean = jnp.mean(aligned, axis=1)
+        if members > 1:
+            spread = jnp.std(aligned, axis=1, ddof=1)
+        else:
+            spread = jnp.zeros_like(mean)
+        lead = (jnp.arange(n_lead) + 1) * data_cfg.step_hours
+        return EnsembleForecast(
+            mean=mean,
+            spread=spread,
+            lead_hours=lead,
+            members=aligned if keep_members else None,
+        )
+
+    return lagged
 
 
 @dataclass

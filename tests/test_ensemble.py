@@ -244,6 +244,83 @@ class TestServiceEnsemble:
             srv.stop()
 
 
+class TestLaggedEnsemble:
+    @pytest.fixture(scope="class")
+    def fitted_store(self):
+        rng = np.random.default_rng(9)
+        t = 30
+        fields = rng.normal(size=(t, 6, N, N, 2)).astype(np.float32)
+        store = MemoryStore.from_raw(
+            fields, np.arange(t) * 0.25, ("z500", "t2m")
+        )
+        cfg = ExperimentConfig(
+            data=DataConfig(grid_n=N, variables=("z500", "t2m"), constants=()),
+            model=UNetConfig(filters=(4, 8)),
+            train=TrainConfig(batch_size=4, max_epochs=1),
+        )
+        est = DLWPEstimator(cfg)
+        est.fit(store, verbose=False)
+        return est, store
+
+    def test_members_align_to_per_lag_forecasts(self, fitted_store):
+        est, store = fitted_store
+        lags = (0, 1, 2)
+        steps = 3
+        i0 = 20
+        ens = est.forecast_lagged(
+            store, init_indices=[i0], steps=steps, lags=lags,
+            keep_members=True,
+        )
+        t_out = est.config.data.output_time_steps
+        n_lead = steps * t_out
+        assert ens.members.shape[:3] == (1, len(lags), n_lead)
+        for m, g in enumerate(lags):
+            # member m == a deterministic forecast initialized g steps
+            # earlier, rolled long enough, leads [g : g + n_lead)
+            extra = -(-g // t_out)
+            det = est.forecast(
+                store, init_indices=[i0 - g], steps=steps + extra
+            )
+            np.testing.assert_allclose(
+                np.asarray(ens.members[:, m]),
+                np.asarray(det.fields)[:, g : g + n_lead],
+                rtol=1e-5, atol=1e-4,
+            )
+        np.testing.assert_allclose(
+            np.asarray(ens.mean), np.asarray(ens.members).mean(axis=1),
+            atol=1e-5,
+        )
+        assert float(np.max(np.asarray(ens.spread))) > 0
+        # control-only lags degenerate to the deterministic forecast
+        solo = est.forecast_lagged(
+            store, init_indices=[i0], steps=steps, lags=(0,)
+        )
+        det0 = est.forecast(store, init_indices=[i0], steps=steps)
+        np.testing.assert_allclose(
+            np.asarray(solo.mean), np.asarray(det0.fields), rtol=1e-5,
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(solo.spread), 0.0)
+
+    def test_contract_errors(self, fitted_store):
+        est, store = fitted_store
+        with pytest.raises(ValueError, match="lags must start at 0"):
+            est.forecast_lagged(store, init_indices=[20], steps=2,
+                                lags=(1, 2))
+        with pytest.raises(ValueError, match="preceding store samples"):
+            est.forecast_lagged(store, init_indices=[2], steps=2,
+                                lags=(0, 5))
+
+    def test_batched_inits(self, fitted_store):
+        est, store = fitted_store
+        ens = est.forecast_lagged(
+            store, init_indices=[15, 20], steps=2, lags=(0, 2)
+        )
+        assert ens.mean.shape[0] == 2
+        assert np.isfinite(np.asarray(ens.mean)).all()
+        assert tuple(np.asarray(ens.init_times).shape) == (2,)
+
+
 class TestCRPS:
     def test_deterministic_ensemble_equals_mae(self):
         x = np.asarray([[1.5, 1.5, 1.5]])  # (1 point, M=3) identical

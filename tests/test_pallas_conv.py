@@ -44,6 +44,26 @@ class TestSupportGate:
         # enormous channel count exceeds VMEM gate
         assert not pallas_supported((2, 6, 48, 48, 2048), (3, 3), 1, 1, jnp.float32)
 
+    def test_large_n_cout_stack_gate(self):
+        # regression (capacity_bench round 4): n=96, cin=12, cout=64
+        # compiled to a 16.12 MB scoped-VMEM stack against the 16 MB limit
+        # — the gate must consider the REAL cout, not assume cout == cin
+        bad = dict(kernel_size=(3, 3), stride=1, dilation=1)
+        assert not pallas_supported(
+            (8, 6, 96, 96, 12), dtype=jnp.bfloat16, cout=64, **bad
+        )
+        # the same cin with a small cout (and the whole measured-good C96
+        # flagship set) stays enabled
+        assert pallas_supported(
+            (8, 6, 96, 96, 12), dtype=jnp.bfloat16, cout=32, **bad
+        )
+        assert pallas_supported(
+            (16, 6, 48, 48, 32), dtype=jnp.bfloat16, cout=32, **bad
+        )
+        assert pallas_supported(
+            (16, 6, 48, 48, 96), dtype=jnp.bfloat16, cout=32, **bad
+        )
+
     def test_vmem_estimate_monotonic(self):
         assert vmem_estimate_bytes(48, 128, 128) > vmem_estimate_bytes(48, 64, 64)
 

@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 
 def unet_train_flops(n, filters, batch, in_ch, out_ch) -> float:
     """Analytic conv MACs of one train step (fwd + ~2x bwd) — same counting
