@@ -6,6 +6,8 @@ from dlwp_cs_tpu.rollout.ensemble import (
     ic_perturbations,
     make_ensemble_rollout,
     make_lagged_rollout,
+    make_multimodel_rollout,
+    stack_params,
 )
 from dlwp_cs_tpu.rollout.estimator import Forecast, TimeSeriesEstimator, make_rollout_fn
 
@@ -17,5 +19,7 @@ __all__ = [
     "ic_perturbations",
     "make_ensemble_rollout",
     "make_lagged_rollout",
+    "make_multimodel_rollout",
     "make_rollout_fn",
+    "stack_params",
 ]

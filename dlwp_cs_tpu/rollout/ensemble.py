@@ -39,6 +39,8 @@ __all__ = [
     "ic_perturbations",
     "make_ensemble_rollout",
     "make_lagged_rollout",
+    "make_multimodel_rollout",
+    "stack_params",
 ]
 
 
@@ -150,6 +152,82 @@ def make_ensemble_rollout(
         )
 
     return ensemble
+
+
+def stack_params(params_list):
+    """Stack K same-architecture param trees leaf-wise for
+    :func:`make_multimodel_rollout` (leading axis = model index)."""
+    if not params_list:
+        raise ValueError("need at least one param tree")
+    first = jax.tree.structure(params_list[0])
+    for p in params_list[1:]:
+        if jax.tree.structure(p) != first:
+            raise ValueError(
+                "param trees differ in structure — multi-model ensembles "
+                "need one architecture"
+            )
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *params_list)
+
+
+def make_multimodel_rollout(
+    apply_fn,
+    data_cfg: DataConfig,
+    *,
+    lat,
+    lon,
+    constants=None,
+    insol_mean: float = 0.0,
+    insol_std: float = 1.0,
+    steps: int,
+    keep_members: bool = False,
+    unroll: int = 1,
+):
+    """Build a jittable multi-model ensemble rollout.
+
+    The reference line's 2021 ensemble combined separately trained models
+    by looping checkpoints on the host; here K same-architecture models
+    (e.g. different training seeds) run as ONE device dispatch —
+    ``jax.vmap`` over a stacked param tree (:func:`stack_params`), which
+    XLA folds into the conv batch just like member folding.
+
+    Returns ``multi(params_stack, window, t0_days) -> EnsembleForecast``
+    with the member axis = model index.  All models must share the data
+    config (the normalization/stats contract is the caller's: stack only
+    models trained on the same store statistics).
+    """
+    base = make_rollout_fn(
+        apply_fn,
+        data_cfg,
+        lat=lat,
+        lon=lon,
+        constants=constants,
+        insol_mean=insol_mean,
+        insol_std=insol_std,
+        steps=steps,
+        unroll=unroll,
+    )
+
+    def multi(params_stack, window, t0_days) -> EnsembleForecast:
+        fields = jax.vmap(
+            lambda p: base(p, window, t0_days).fields
+        )(params_stack)  # (K, B, L, 6, n, n, C)
+        members = jnp.moveaxis(fields, 0, 1)  # (B, K, L, ...)
+        k = members.shape[1]
+        mean = jnp.mean(members, axis=1)
+        if k > 1:
+            spread = jnp.std(members, axis=1, ddof=1)
+        else:
+            spread = jnp.zeros_like(mean)
+        t_out = data_cfg.output_time_steps
+        lead = (jnp.arange(steps * t_out) + 1) * data_cfg.step_hours
+        return EnsembleForecast(
+            mean=mean,
+            spread=spread,
+            lead_hours=lead,
+            members=members if keep_members else None,
+        )
+
+    return multi
 
 
 def make_lagged_rollout(

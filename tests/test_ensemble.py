@@ -321,6 +321,58 @@ class TestLaggedEnsemble:
         assert tuple(np.asarray(ens.init_times).shape) == (2,)
 
 
+class TestMultiModelEnsemble:
+    def test_members_match_individual_models(self, small_model):
+        from dlwp_cs_tpu.rollout import make_multimodel_rollout, stack_params
+
+        model, params0, dcfg, lat, lon, window = small_model
+        # a second "seed": params re-initialized with a different key
+        from dlwp_cs_tpu.data.channels import pack_inputs
+
+        x0 = pack_inputs(
+            window,
+            jnp.zeros(window.shape[:1] + (dcfg.input_time_steps, 6, N, N)),
+            None,
+        )
+        params1 = model.init(jax.random.PRNGKey(42), x0)
+        stack = stack_params([params0, params1])
+        multi = jax.jit(make_multimodel_rollout(
+            model.apply, dcfg, lat=lat, lon=lon, steps=2, keep_members=True,
+        ))
+        ens = multi(stack, window, 9132.5)
+        assert ens.members.shape[:2] == (window.shape[0], 2)
+        for i, p in enumerate([params0, params1]):
+            det = TimeSeriesEstimator(
+                apply_fn=model.apply, params=p, data_cfg=dcfg,
+                lat=lat, lon=lon,
+            ).predict(window, 9132.5, steps=2)
+            np.testing.assert_allclose(
+                np.asarray(ens.members[:, i]), np.asarray(det.fields),
+                rtol=1e-5, atol=1e-3,
+            )
+        np.testing.assert_allclose(
+            np.asarray(ens.mean), np.asarray(ens.members).mean(axis=1),
+            atol=1e-5,
+        )
+        assert float(np.max(np.asarray(ens.spread))) > 0
+
+    def test_stack_params_contract(self, small_model):
+        from dlwp_cs_tpu.rollout import stack_params
+
+        _, params0, *_ = small_model
+        with pytest.raises(ValueError, match="at least one"):
+            stack_params([])
+        import flax
+
+        bad = flax.core.unfreeze(params0) if hasattr(flax.core, "unfreeze") else dict(params0)
+        bad = jax.tree.map(lambda x: x, bad)
+        # remove a leaf -> different structure
+        key0 = next(iter(bad["params"]))
+        del bad["params"][key0]
+        with pytest.raises(ValueError, match="differ in structure"):
+            stack_params([params0, bad])
+
+
 class TestCRPS:
     def test_deterministic_ensemble_equals_mae(self):
         x = np.asarray([[1.5, 1.5, 1.5]])  # (1 point, M=3) identical
