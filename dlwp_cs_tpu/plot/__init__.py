@@ -5,6 +5,8 @@ from dlwp_cs_tpu.plot.maps import (
     plot_error_curves,
     plot_history,
     plot_latlon_map,
+    plot_rank_histogram,
+    plot_spread_error,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "plot_error_curves",
     "plot_history",
     "plot_latlon_map",
+    "plot_rank_histogram",
+    "plot_spread_error",
 ]

@@ -15,6 +15,8 @@ __all__ = [
     "plot_error_curves",
     "plot_history",
     "plot_latlon_map",
+    "plot_rank_histogram",
+    "plot_spread_error",
 ]
 
 # Cross layout: (row, col) panel of each face in a 3x4 grid.
@@ -187,6 +189,54 @@ def plot_history(history, *, out_path=None):
     ax.set_yscale("log")
     ax.grid(True, alpha=0.3)
     ax.legend()
+    if out_path is not None:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_rank_histogram(counts, *, title: str | None = None, out_path=None):
+    """Verification-rank (Talagrand) histogram from
+    :func:`dlwp_cs_tpu.verify.rank_histogram` counts.  A reliable ensemble
+    is flat (dashed line); U shape = under-dispersive."""
+    plt = _mpl()
+    counts = np.asarray(counts, np.float64)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ranks = np.arange(counts.shape[0])
+    ax.bar(ranks, counts, color="#4878cf", edgecolor="none")
+    ax.axhline(counts.sum() / counts.shape[0], ls="--", c="k", lw=1,
+               label="flat (reliable)")
+    ax.set_xlabel("rank of truth within ensemble")
+    ax.set_ylabel("count")
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    if out_path is not None:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_spread_error(lead_hours, rmse, spread, *, members: int | None = None,
+                      title: str | None = None, out_path=None):
+    """Spread-skill diagnostic from :func:`dlwp_cs_tpu.verify.spread_error`:
+    RMSE of the ensemble mean vs (scaled) mean spread per lead time.  With
+    ``members`` given, the spread is scaled by sqrt((M+1)/M) so a reliable
+    ensemble's curves coincide."""
+    plt = _mpl()
+    lead_days = np.asarray(lead_hours) / 24.0
+    spread = np.asarray(spread, np.float64)
+    label = "spread"
+    if members is not None:
+        spread = spread * np.sqrt((members + 1) / members)
+        label = "spread * sqrt((M+1)/M)"
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.plot(lead_days, np.asarray(rmse), label="RMSE(ens mean)")
+    ax.plot(lead_days, spread, ls="--", label=label)
+    ax.set_xlabel("lead time (days)")
+    ax.set_ylabel("error / spread")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    if title:
+        ax.set_title(title)
     if out_path is not None:
         fig.savefig(out_path, dpi=120, bbox_inches="tight")
     return fig

@@ -77,3 +77,29 @@ def test_plot_latlon_map_shape_and_projection_errors():
         plot_latlon_map(np.zeros((20, 10)), lats, lons)
     with pytest.raises(ValueError):
         plot_latlon_map(np.zeros((10, 20)), lats, lons, projection="bogus")
+
+
+def test_plot_rank_histogram(tmp_path):
+    from dlwp_cs_tpu.plot import plot_rank_histogram
+
+    counts = np.asarray([120, 95, 88, 97, 130])
+    fig = plot_rank_histogram(counts, title="rank",
+                              out_path=tmp_path / "rank.png")
+    assert (tmp_path / "rank.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_plot_spread_error(tmp_path):
+    from dlwp_cs_tpu.plot import plot_spread_error
+
+    lead = np.arange(1, 9) * 6.0
+    rmse = np.linspace(0.1, 1.0, 8)
+    spread = rmse * 0.9
+    fig = plot_spread_error(lead, rmse, spread, members=16,
+                            out_path=tmp_path / "se.png")
+    assert (tmp_path / "se.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
