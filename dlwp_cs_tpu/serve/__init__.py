@@ -5,7 +5,11 @@ The reference framework stops at notebook-driven inference
 the TPU rebuild — see :mod:`dlwp_cs_tpu.serve.service`.
 """
 
-from dlwp_cs_tpu.serve.export import ExportedForecaster, export_forecaster
+from dlwp_cs_tpu.serve.export import (
+    ExportedForecastService,
+    ExportedForecaster,
+    export_forecaster,
+)
 from dlwp_cs_tpu.serve.http import (
     ForecastHTTPServer,
     ensemble_request,
@@ -15,6 +19,7 @@ from dlwp_cs_tpu.serve.http import (
 from dlwp_cs_tpu.serve.service import ForecastService, ServiceStats
 
 __all__ = [
+    "ExportedForecastService",
     "ExportedForecaster",
     "ForecastHTTPServer",
     "ForecastService",

@@ -26,6 +26,7 @@ exported batch size, padding members discarded).
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 import numpy as np
@@ -36,8 +37,13 @@ from jax import export as jax_export
 
 from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS
 from dlwp_cs_tpu.rollout.estimator import Forecast, make_rollout_fn
+from dlwp_cs_tpu.serve.service import MicroBatcher
 
-__all__ = ["ExportedForecaster", "export_forecaster"]
+__all__ = [
+    "ExportedForecastService",
+    "ExportedForecaster",
+    "export_forecaster",
+]
 
 _FORMAT = 1
 
@@ -170,14 +176,7 @@ class ExportedForecaster:
     def load(cls, path) -> "ExportedForecaster":
         return cls(path)
 
-    def forecast(self, window, t0_days, *, normalized: bool = False) -> Forecast:
-        """Forecast one window batch (steps fixed at export time).
-
-        ``window``: raw ``(T_in, 6, n, n, C_var)`` or ``(B,) + that``;
-        ``t0_days``: scalar / ``(B,)`` init times (days since 2000-01-01).
-        The batch buckets up to the next exported size (error if above the
-        largest); padding members are discarded.
-        """
+    def _check_window(self, window) -> np.ndarray:
         want = tuple(self.meta["window_shape"])
         window = np.asarray(window, np.float32)
         if window.shape == want:
@@ -187,6 +186,17 @@ class ExportedForecaster:
                 f"window must be {want} or (B,) + that shape, got "
                 f"{window.shape}"
             )
+        return window
+
+    def forecast(self, window, t0_days, *, normalized: bool = False) -> Forecast:
+        """Forecast one window batch (steps fixed at export time).
+
+        ``window``: raw ``(T_in, 6, n, n, C_var)`` or ``(B,) + that``;
+        ``t0_days``: scalar / ``(B,)`` init times (days since 2000-01-01).
+        The batch buckets up to the next exported size (error if above the
+        largest); padding members are discarded.
+        """
+        window = self._check_window(window)
         b = window.shape[0]
         bucket = next((s for s in self.batch_sizes if s >= b), None)
         if bucket is None:
@@ -221,3 +231,59 @@ class ExportedForecaster:
             init_times=t0[:b],
             variables=self.variables,
         )
+
+
+class ExportedForecastService(MicroBatcher):
+    """Serve an AOT artifact behind the micro-batching HTTP front end.
+
+    The full deployment story without model code: a box with jax + numpy +
+    this module serves ``/forecast`` from an :func:`export_forecaster`
+    directory — ``ForecastHTTPServer(ExportedForecastService(path))``.
+    ``steps`` is fixed by the artifact; requests with any other value are
+    rejected (the HTTP layer surfaces that as a 400).  ``/ensemble`` is not
+    available on artifact backends (the perturbation machinery needs the
+    live model); the front end replies 400 for it.
+    """
+
+    def __init__(self, artifact, *, max_batch: int | None = None,
+                 max_wait_ms: float = 5.0):
+        exp = (artifact if isinstance(artifact, ExportedForecaster)
+               else ExportedForecaster.load(artifact))
+        self._exp = exp
+        self.steps = int(exp.meta["steps"])
+        self.quantized = False
+        cap = max(exp.batch_sizes)
+        self._init_batcher(
+            cap if max_batch is None else min(int(max_batch), cap),
+            max_wait_ms,
+        )
+
+    def _check_window(self, window):
+        return self._exp._check_window(window)
+
+    def forecast(self, window, t0_days, *, steps: int,
+                 normalized: bool = False) -> Forecast:
+        if int(steps) != self.steps:
+            raise ValueError(
+                f"this artifact was exported with steps={self.steps}; "
+                f"got steps={steps}"
+            )
+        t0_wall = time.perf_counter()
+        fc = self._exp.forecast(window, t0_days, normalized=normalized)
+        with self._lock:
+            self.stats.device_seconds += time.perf_counter() - t0_wall
+        return fc
+
+    def info(self) -> dict:
+        meta = self._exp.meta
+        t_in, _, n, _, c_var = meta["window_shape"]
+        return {
+            "grid_n": n,
+            "variables": list(meta["variables"]),
+            "input_time_steps": t_in,
+            "steps": meta["steps"],
+            "batch_sizes": meta["batch_sizes"],
+            "platforms": meta["platforms"],
+            "backend": "aot-artifact",
+            "quantized": False,
+        }

@@ -78,28 +78,16 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply_json(200, {"status": "ok"})
         if self.path == "/info":
             svc = self.service
-            dcfg = svc.config.data
             st = svc.stats
-            return self._reply_json(
-                200,
-                {
-                    "grid_n": dcfg.grid_n,
-                    "variables": list(dcfg.variables),
-                    "constants": list(dcfg.constants),
-                    "input_time_steps": dcfg.input_time_steps,
-                    "output_time_steps": dcfg.output_time_steps,
-                    "step_hours": dcfg.step_hours,
-                    "add_insolation": dcfg.add_insolation,
-                    "quantized": svc.quantized,
-                    "stats": {
-                        "requests": st.requests,
-                        "batches": st.batches,
-                        "mean_batch": st.mean_batch,
-                        "padded_members": st.padded_members,
-                        "device_seconds": st.device_seconds,
-                    },
-                },
-            )
+            payload = dict(svc.info())
+            payload["stats"] = {
+                "requests": st.requests,
+                "batches": st.batches,
+                "mean_batch": st.mean_batch,
+                "padded_members": st.padded_members,
+                "device_seconds": st.device_seconds,
+            }
+            return self._reply_json(200, payload)
         return self._reply_json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
@@ -147,6 +135,12 @@ class _Handler(BaseHTTPRequestHandler):
                 normalized = bool(z["normalized"]) if "normalized" in z else False
         except Exception as e:  # noqa: BLE001 — malformed request
             return self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+        if not hasattr(self.service, "forecast_ensemble"):
+            return self._reply_json(
+                400,
+                {"error": "this service does not support /ensemble "
+                          "(AOT-artifact backends serve /forecast only)"},
+            )
         try:
             import jax
 

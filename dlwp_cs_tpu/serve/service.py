@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from dlwp_cs_tpu.rollout.estimator import Forecast, TimeSeriesEstimator
 
-__all__ = ["ForecastService", "ServiceStats"]
+__all__ = ["ForecastService", "MicroBatcher", "ServiceStats"]
 
 
 @dataclass
@@ -75,7 +75,134 @@ def _bucket(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
-class ForecastService:
+class MicroBatcher:
+    """Shared micro-batching front end: coalesces concurrent single-member
+    ``submit`` requests into one ``forecast`` device dispatch (padded to
+    the next power-of-two bucket, padding members discarded).
+
+    Subclasses provide ``forecast(window, t0_days, *, steps, normalized)``
+    and ``_check_window(window)`` and call :meth:`_init_batcher` in their
+    constructor.  Used by :class:`ForecastService` (live estimator) and
+    :class:`dlwp_cs_tpu.serve.export.ExportedForecastService` (AOT
+    artifact), so the HTTP front end serves either.
+    """
+
+    def _init_batcher(self, max_batch: int, max_wait_ms: float):
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.stats = ServiceStats()
+        self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._worker: threading.Thread | None = None
+        self._closed = False
+
+    def submit(self, window, t0_days, *, steps: int,
+               normalized: bool = False) -> Future:
+        """Enqueue a single-member request; returns a Future[Forecast].
+
+        Concurrent submissions with the same ``steps`` coalesce into one
+        device dispatch.  The worker thread starts lazily on first use.
+        """
+        window = self._check_window(window)
+        if window.shape[0] != 1:
+            raise ValueError(
+                "submit takes one member per request; use forecast() for "
+                "explicit batches"
+            )
+        fut: Future = Future()
+        with self._lock:
+            # closed-check + enqueue must be atomic against close(): an
+            # item enqueued after the close sentinel would never be served
+            # and its future would never resolve
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.put((window, float(np.asarray(t0_days).reshape(())),
+                             int(steps), bool(normalized), fut))
+            if self._worker is None:
+                self._worker = threading.Thread(
+                    target=self._run_worker, name="forecast-batcher",
+                    daemon=True,
+                )
+                self._worker.start()
+        return fut
+
+    def _run_worker(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            key = (item[2], item[3])  # (steps, normalized)
+            deadline = time.monotonic() + self.max_wait_s
+            stash = []
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    # sentinel mid-collection: keep draining — re-enqueue it
+                    # behind any stashed requests so they are served before
+                    # the worker exits
+                    stash.append(None)
+                    break
+                if (nxt[2], nxt[3]) == key:
+                    batch.append(nxt)
+                else:
+                    stash.append(nxt)
+            self._flush(batch, key, stash)
+
+    def _flush(self, batch, key, stash):
+        # re-enqueue mismatched-steps requests (and a deferred close
+        # sentinel, which stays behind them) for the next round first
+        for it in stash:
+            self._queue.put(it)
+        steps, normalized = key
+        windows = np.concatenate([b[0] for b in batch], axis=0)
+        t0 = np.asarray([b[1] for b in batch], np.float64)
+        bucket = _bucket(len(batch), self.max_batch)
+        pad = bucket - len(batch)
+        if pad:
+            windows = np.concatenate(
+                [windows, np.repeat(windows[-1:], pad, axis=0)], axis=0
+            )
+            t0 = np.concatenate([t0, np.repeat(t0[-1:], pad)])
+        try:
+            fc = self.forecast(windows, t0, steps=steps,
+                               normalized=normalized)
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for b in batch:
+                _resolve(b[4], error=e)
+            return
+        with self._lock:
+            self.stats.requests += len(batch)
+            self.stats.batches += 1
+            self.stats.padded_members += pad
+        for i, b in enumerate(batch):
+            _resolve(
+                b[4],
+                result=fc._replace(
+                    fields=fc.fields[i : i + 1],
+                    init_times=np.asarray([b[1]]),
+                ),
+            )
+
+    def close(self):
+        """Stop the batching worker (pending requests are flushed first)."""
+        with self._lock:
+            self._closed = True
+            worker = self._worker
+            if worker is not None:
+                self._queue.put(None)  # after any in-flight submit's item
+        if worker is not None:
+            worker.join(timeout=30)
+            self._worker = None
+
+
+class ForecastService(MicroBatcher):
     """Batched rollout serving on top of a fitted/loaded ``DLWPEstimator``.
 
     Args:
@@ -163,14 +290,8 @@ class ForecastService:
             insol_mean=stats["insol_mean"],
             insol_std=stats["insol_std"],
         )
-        self.max_batch = int(max_batch)
-        self.max_wait_s = float(max_wait_ms) / 1e3
-        self.stats = ServiceStats()
-        self._queue: queue.Queue = queue.Queue()
-        self._lock = threading.Lock()
+        self._init_batcher(max_batch, max_wait_ms)
         self._ens_lock = threading.Lock()
-        self._worker: threading.Thread | None = None
-        self._closed = False
 
     @classmethod
     def load(cls, path, **kwargs) -> "ForecastService":
@@ -178,6 +299,20 @@ class ForecastService:
         from dlwp_cs_tpu.estimator import DLWPEstimator
 
         return cls(DLWPEstimator.load(Path(path)), **kwargs)
+
+    def info(self) -> dict:
+        """Model/grid metadata for the HTTP ``/info`` endpoint."""
+        dcfg = self.config.data
+        return {
+            "grid_n": dcfg.grid_n,
+            "variables": list(dcfg.variables),
+            "constants": list(dcfg.constants),
+            "input_time_steps": dcfg.input_time_steps,
+            "output_time_steps": dcfg.output_time_steps,
+            "step_hours": dcfg.step_hours,
+            "add_insolation": dcfg.add_insolation,
+            "quantized": self.quantized,
+        }
 
     # -- core path -----------------------------------------------------------
     def _window_shape(self):
@@ -309,110 +444,3 @@ class ForecastService:
             if mem is not None:
                 mem = mem * self._std + self._mean
         return fc._replace(mean=mean, spread=spread, members=mem)
-
-    # -- micro-batching front end ---------------------------------------------
-    def submit(self, window, t0_days, *, steps: int,
-               normalized: bool = False) -> Future:
-        """Enqueue a single-member request; returns a Future[Forecast].
-
-        Concurrent submissions with the same ``steps`` coalesce into one
-        device dispatch (padded to the next power-of-two bucket, padding
-        members discarded).  The worker thread starts lazily on first use.
-        """
-        window = self._check_window(window)
-        if window.shape[0] != 1:
-            raise ValueError(
-                "submit takes one member per request; use forecast() for "
-                "explicit batches"
-            )
-        fut: Future = Future()
-        with self._lock:
-            # closed-check + enqueue must be atomic against close(): an
-            # item enqueued after the close sentinel would never be served
-            # and its future would never resolve
-            if self._closed:
-                raise RuntimeError("service is closed")
-            self._queue.put((window, float(np.asarray(t0_days).reshape(())),
-                             int(steps), bool(normalized), fut))
-            if self._worker is None:
-                self._worker = threading.Thread(
-                    target=self._run_worker, name="forecast-batcher",
-                    daemon=True,
-                )
-                self._worker.start()
-        return fut
-
-    def _run_worker(self):
-        while True:
-            item = self._queue.get()
-            if item is None:
-                return
-            batch = [item]
-            key = (item[2], item[3])  # (steps, normalized)
-            deadline = time.monotonic() + self.max_wait_s
-            stash = []
-            while len(batch) < self.max_batch:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    nxt = self._queue.get(timeout=left)
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    # sentinel mid-collection: keep draining — re-enqueue it
-                    # behind any stashed requests so they are served before
-                    # the worker exits
-                    stash.append(None)
-                    break
-                if (nxt[2], nxt[3]) == key:
-                    batch.append(nxt)
-                else:
-                    stash.append(nxt)
-            self._flush(batch, key, stash)
-
-    def _flush(self, batch, key, stash):
-        # re-enqueue mismatched-steps requests (and a deferred close
-        # sentinel, which stays behind them) for the next round first
-        for it in stash:
-            self._queue.put(it)
-        steps, normalized = key
-        windows = np.concatenate([b[0] for b in batch], axis=0)
-        t0 = np.asarray([b[1] for b in batch], np.float64)
-        bucket = _bucket(len(batch), self.max_batch)
-        pad = bucket - len(batch)
-        if pad:
-            windows = np.concatenate(
-                [windows, np.repeat(windows[-1:], pad, axis=0)], axis=0
-            )
-            t0 = np.concatenate([t0, np.repeat(t0[-1:], pad)])
-        try:
-            fc = self.forecast(windows, t0, steps=steps,
-                               normalized=normalized)
-        except Exception as e:  # noqa: BLE001 — propagate to every waiter
-            for b in batch:
-                _resolve(b[4], error=e)
-            return
-        with self._lock:
-            self.stats.requests += len(batch)
-            self.stats.batches += 1
-            self.stats.padded_members += pad
-        for i, b in enumerate(batch):
-            _resolve(
-                b[4],
-                result=fc._replace(
-                    fields=fc.fields[i : i + 1],
-                    init_times=np.asarray([b[1]]),
-                ),
-            )
-
-    def close(self):
-        """Stop the batching worker (pending requests are flushed first)."""
-        with self._lock:
-            self._closed = True
-            worker = self._worker
-            if worker is not None:
-                self._queue.put(None)  # after any in-flight submit's item
-        if worker is not None:
-            worker.join(timeout=30)
-            self._worker = None

@@ -122,6 +122,50 @@ class TestExportArtifact:
         with pytest.raises(ValueError, match="t0_days batch"):
             exp.forecast(np.stack([window] * 4), np.asarray([t0, t0]))
 
+    def test_artifact_served_over_http(self, artifact):
+        # the full deployment story: HTTP front end over the AOT artifact
+        # alone, no estimator/model objects
+        import http.client
+
+        from dlwp_cs_tpu.serve import (
+            ExportedForecastService,
+            ForecastHTTPServer,
+            ForecastService,
+            forecast_request,
+        )
+
+        est, store, path = artifact
+        svc = ExportedForecastService(path, max_wait_ms=100.0)
+        assert svc.steps == STEPS
+        assert svc.info()["backend"] == "aot-artifact"
+        srv = ForecastHTTPServer(svc).start()
+        try:
+            window = np.asarray(store.fields[4:6])
+            t0 = float(store.times[5])
+            fields, lead, init = forecast_request(
+                "127.0.0.1", srv.port, window, t0, STEPS
+            )
+            live = ForecastService(est, constants_store=store).forecast(
+                window, t0, steps=STEPS
+            )
+            np.testing.assert_allclose(
+                fields, np.asarray(live.fields), rtol=1e-5, atol=1e-5
+            )
+            # wrong steps -> clean 400 with the artifact message
+            with pytest.raises(RuntimeError, match="exported with steps"):
+                forecast_request("127.0.0.1", srv.port, window, t0,
+                                 STEPS + 1)
+            # /ensemble unsupported on artifact backends -> 400
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+            body = b"x"
+            conn.request("POST", "/ensemble", body=body,
+                         headers={"Content-Length": str(len(body))})
+            assert conn.getresponse().status == 400
+            conn.close()
+        finally:
+            srv.stop()
+        assert svc.stats.requests >= 1
+
     def test_unfitted_estimator_rejected(self, tmp_path):
         cfg = ExperimentConfig(
             data=DataConfig(grid_n=N, variables=("z500", "t2m"), constants=()),
