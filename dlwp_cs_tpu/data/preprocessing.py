@@ -30,9 +30,16 @@ class Preprocessor:
         h5py datasets; ERA5 files opened via ``data.era5`` produce these).
       lats, lons: 1-D grid coordinates in **radians** (ascending lats).
       times: ``(T,)`` float64 days since 2000-01-01 00 UTC.
+      derived: optional mapping ``name -> (deps, fn)`` of variables computed
+        from sources, e.g. the papers' 300-700 hPa thickness
+        ``{"tau300-700": (("z300", "z700"), lambda z3, z7: z3 - z7)}``.
+        ``fn`` receives ``(B, H, W)`` float32 blocks of each dep and returns
+        the same shape; it is evaluated per streamed time batch, so a
+        derived series never materializes in full (the reference computed
+        such combinations eagerly in xarray before preprocessing).
     """
 
-    def __init__(self, sources: dict, lats, lons, times):
+    def __init__(self, sources: dict, lats, lons, times, derived=None):
         self.sources = dict(sources)
         self.lats = np.asarray(lats, np.float64)
         self.lons = np.asarray(lons, np.float64)
@@ -46,6 +53,16 @@ class Preprocessor:
                     f"source {k!r} has shape {v.shape}, expected "
                     f"{(t, len(self.lats), len(self.lons))}"
                 )
+        self.derived = {}
+        for name, (deps, fn) in (derived or {}).items():
+            if name in self.sources:
+                raise ValueError(f"derived {name!r} shadows a source")
+            missing = [d for d in deps if d not in self.sources]
+            if missing:
+                raise ValueError(
+                    f"derived {name!r} depends on unknown sources {missing}"
+                )
+            self.derived[name] = (tuple(deps), fn)
 
     def data_to_series(
         self,
@@ -69,8 +86,14 @@ class Preprocessor:
         Returns the MemoryStore (and writes HDF5 if ``path`` given).
         """
         cs = CubedSphere(n)
-        variables = list(self.sources) if variables is None else list(variables)
-        missing = [v for v in variables if v not in self.sources]
+        if variables is None:
+            variables = list(self.sources) + list(self.derived)
+        else:
+            variables = list(variables)
+        missing = [
+            v for v in variables
+            if v not in self.sources and v not in self.derived
+        ]
         if missing:
             raise ValueError(f"unknown variables {missing}")
         if weights is None:
@@ -78,10 +101,27 @@ class Preprocessor:
         t_total = len(self.times)
         fields = np.empty((t_total, 6, n, n, len(variables)), np.float32)
         for ci, name in enumerate(variables):
-            src = self.sources[name]
             for lo in range(0, t_total, batch_size):
                 hi = min(lo + batch_size, t_total)
-                block = np.asarray(src[lo:hi], np.float32).reshape(hi - lo, -1)
+                if name in self.derived:
+                    deps, fn = self.derived[name]
+                    block = np.asarray(
+                        fn(*[
+                            np.asarray(self.sources[d][lo:hi], np.float32)
+                            for d in deps
+                        ]),
+                        np.float32,
+                    )
+                    if block.shape != (hi - lo, len(self.lats),
+                                       len(self.lons)):
+                        raise ValueError(
+                            f"derived {name!r} returned shape {block.shape}"
+                        )
+                    block = block.reshape(hi - lo, -1)
+                else:
+                    block = np.asarray(
+                        self.sources[name][lo:hi], np.float32
+                    ).reshape(hi - lo, -1)
                 out = weights.apply_numpy(block)
                 fields[lo:hi, ..., ci] = out.reshape(hi - lo, 6, n, n)
         constants = None

@@ -11,6 +11,10 @@ Usage:
   python examples/06_serve.py --workdir /tmp/dlwp --selftest
       (starts the server on an ephemeral port, sends concurrent client
        requests from the store's last windows, prints a summary, exits)
+  python examples/06_serve.py --workdir /tmp/dlwp --artifact
+      (serves from the AOT StableHLO artifact written by example 07 —
+       rollout_artifact/ — with NO model objects in the process; steps is
+       fixed by the artifact)
 """
 
 from __future__ import annotations
@@ -33,12 +37,24 @@ def main() -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--artifact", action="store_true",
+                    help="serve the AOT artifact (example 07) instead of "
+                         "the live estimator; steps is fixed by the artifact")
     args = ap.parse_args()
     workdir = Path(args.workdir)
 
     store = open_store(workdir / "predictors_cs.h5")
-    est = DLWPEstimator.load(workdir / "model")
-    svc = ForecastService(est, constants_store=store, max_wait_ms=50.0)
+    if args.artifact:
+        from dlwp_cs_tpu.serve import ExportedForecastService
+
+        svc = ExportedForecastService(workdir / "rollout_artifact",
+                                      max_wait_ms=50.0)
+        args.steps = svc.steps
+        t_in = svc.info()["input_time_steps"]
+    else:
+        est = DLWPEstimator.load(workdir / "model")
+        svc = ForecastService(est, constants_store=store, max_wait_ms=50.0)
+        t_in = est.config.data.input_time_steps
 
     if not args.selftest:
         from dlwp_cs_tpu.serve import serve_forever
@@ -48,7 +64,6 @@ def main() -> int:
 
     srv = ForecastHTTPServer(svc, host="127.0.0.1", port=0).start()
     print(f"[serve] selftest on port {srv.port}")
-    t_in = est.config.data.input_time_steps
     idx = [len(store.times) - 3, len(store.times) - 2, len(store.times) - 1]
     results: dict[int, tuple] = {}
 

@@ -326,6 +326,39 @@ class TestPreprocessor:
         assert store.fields[..., 0].max() < 6.1
         assert (tmp_path / "cs.h5").exists()
 
+    def test_derived_variables_stream(self):
+        # the papers' thickness workflow: tau = z300 - z700, computed per
+        # streamed batch, remapped identically to a pre-computed source
+        h, w, t = 19, 36, 9
+        lats = -np.pi / 2 + (np.arange(h) + 0.5) * np.pi / h
+        lons = (np.arange(w) + 0.5) * 2 * np.pi / w
+        glat, glon = np.meshgrid(lats, lons, indexing="ij")
+        rngf = np.random.default_rng(0)
+        z300 = (np.sin(glat)[None] + 0.1 * rngf.normal(size=(t, h, w))).astype(
+            np.float32
+        )
+        z700 = (np.cos(glon)[None] + 0.1 * rngf.normal(size=(t, h, w))).astype(
+            np.float32
+        )
+        pre = Preprocessor(
+            {"z300": z300, "z700": z700},
+            lats, lons, np.arange(t) * 0.25,
+            derived={"tau300-700": (("z300", "z700"), lambda a, b: a - b)},
+        )
+        store = pre.data_to_series(8, batch_size=4)  # forces 3 batches
+        assert store.variables == ("z300", "z700", "tau300-700")
+        # linearity of the remap: tau channel == z300 ch - z700 ch exactly
+        np.testing.assert_allclose(
+            store.fields[..., 2],
+            store.fields[..., 0] - store.fields[..., 1],
+            atol=1e-5,
+        )
+        # explicit selection of only the derived variable works too
+        solo = pre.data_to_series(8, variables=["tau300-700"])
+        np.testing.assert_allclose(
+            solo.fields[..., 0], store.fields[..., 2], atol=1e-6
+        )
+
     def test_bad_inputs(self):
         lats = np.linspace(-1.5, 1.5, 4)
         lons = np.linspace(0, 6, 8)
@@ -338,6 +371,22 @@ class TestPreprocessor:
         pre = Preprocessor({"x": np.zeros((3, 4, 8))}, lats, lons, np.arange(3))
         with pytest.raises(ValueError):
             pre.data_to_series(8, variables=["nope"])
+        with pytest.raises(ValueError, match="shadows a source"):
+            Preprocessor(
+                {"x": np.zeros((3, 4, 8))}, lats, lons, np.arange(3),
+                derived={"x": (("x",), lambda a: a)},
+            )
+        with pytest.raises(ValueError, match="unknown sources"):
+            Preprocessor(
+                {"x": np.zeros((3, 4, 8))}, lats, lons, np.arange(3),
+                derived={"y": (("z",), lambda a: a)},
+            )
+        bad_shape = Preprocessor(
+            {"x": np.zeros((3, 4, 8))}, lats, lons, np.arange(3),
+            derived={"y": (("x",), lambda a: a[..., :4])},
+        )
+        with pytest.raises(ValueError, match="returned shape"):
+            bad_shape.data_to_series(8, variables=["y"])
 
 
 class TestSampleSlice:

@@ -88,3 +88,6 @@ def test_full_example_chain(tmp_path):
     assert "ensemble+export ok" in out
     assert "crps=" in out
     assert (tmp_path / "rollout_artifact" / "meta.json").exists()
+    # 06 --artifact: serve the AOT artifact with no model objects
+    out = _run("06_serve.py", "--workdir", wd, "--selftest", "--artifact")
+    assert "selftest ok" in out
