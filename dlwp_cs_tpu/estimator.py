@@ -200,14 +200,16 @@ class DLWPEstimator:
                 f"a {t_in}-step window at interval {iv} with max lag "
                 f"{max(lags)}"
             )
-        fields = np.asarray(store.fields)
+        # per-window slices straight off the (possibly HDF5-backed) store —
+        # never materialize the full series on the host
         win = (t_in - 1) * iv
         windows = np.stack(
             [
                 np.stack(
                     [
-                        (fields[i - g * iv - win : i - g * iv + 1 : iv]
-                         - mean) / std
+                        (np.asarray(
+                            store.fields[i - g * iv - win : i - g * iv + 1 : iv]
+                        ) - mean) / std
                         for g in lags
                     ]
                 )
@@ -223,7 +225,17 @@ class DLWPEstimator:
         from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS
         from dlwp_cs_tpu.rollout import make_lagged_rollout
 
-        key = (steps, lags, keep_members)
+        # cache key includes everything the closure bakes in besides params
+        # (which are a call argument): a re-fit changes the insolation
+        # stats, and a different store can carry different constants —
+        # either must miss the cache, not silently reuse stale state
+        const_tag = (
+            None if constants is None
+            else hash(np.asarray(constants, np.float32).tobytes())
+        )
+        key = (steps, lags, keep_members,
+               float(self.stats["insol_mean"]),
+               float(self.stats["insol_std"]), const_tag)
         cache = self.__dict__.setdefault("_lagged_cache", {})
         fn = cache.get(key)
         if fn is None:

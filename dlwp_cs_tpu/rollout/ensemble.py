@@ -300,17 +300,12 @@ def make_lagged_rollout(
         fc = base(params, flat, t0_flat)
         fields = fc.fields.reshape((b, members) + fc.fields.shape[1:])
         # member m's lead j is valid at t0 - lags[m]*dt + (j+1)*dt: the
-        # window [lags[m], lags[m] + n_lead) aligns it to the control leads
-        lag_idx = jnp.asarray(lags, jnp.int32)
-
-        def take(member_fields, g):
-            return jax.lax.dynamic_slice_in_dim(
-                member_fields, g, n_lead, axis=0
-            )
-
-        aligned = jax.vmap(  # over batch (same lags)
-            jax.vmap(take, in_axes=(0, 0)), in_axes=(0, None)
-        )(fields, lag_idx)
+        # window [lags[m], lags[m] + n_lead) aligns it to the control
+        # leads — lags are static, so these are constant-offset slices
+        aligned = jnp.stack(
+            [fields[:, m, g : g + n_lead] for m, g in enumerate(lags)],
+            axis=1,
+        )
         mean = jnp.mean(aligned, axis=1)
         if members > 1:
             spread = jnp.std(aligned, axis=1, ddof=1)

@@ -135,6 +135,10 @@ def export_forecaster(
         "variables": list(dcfg.variables),
         "lead_hours": lead_hours.tolist(),
         "platforms": exported_platforms,
+        # temporal contract: consumers must sample the input window at this
+        # spacing — record it so clients can validate instead of guessing
+        "step_hours": dcfg.step_hours,
+        "output_time_steps": dcfg.output_time_steps,
     }
     (target / "meta.json").write_text(json.dumps(meta, indent=1))
     np.savez(
@@ -284,6 +288,9 @@ class ExportedForecastService(MicroBatcher):
             "steps": meta["steps"],
             "batch_sizes": meta["batch_sizes"],
             "platforms": meta["platforms"],
+            # present on older artifacts as None rather than KeyError
+            "step_hours": meta.get("step_hours"),
+            "output_time_steps": meta.get("output_time_steps"),
             "backend": "aot-artifact",
             "quantized": False,
         }

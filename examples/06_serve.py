@@ -43,15 +43,17 @@ def main() -> int:
     args = ap.parse_args()
     workdir = Path(args.workdir)
 
-    store = open_store(workdir / "predictors_cs.h5")
     if args.artifact:
         from dlwp_cs_tpu.serve import ExportedForecastService
 
+        # artifact-only deployment: no store or model objects needed to
+        # serve (the store below is opened only for selftest windows)
         svc = ExportedForecastService(workdir / "rollout_artifact",
                                       max_wait_ms=50.0)
         args.steps = svc.steps
         t_in = svc.info()["input_time_steps"]
     else:
+        store = open_store(workdir / "predictors_cs.h5")
         est = DLWPEstimator.load(workdir / "model")
         svc = ForecastService(est, constants_store=store, max_wait_ms=50.0)
         t_in = est.config.data.input_time_steps
@@ -62,6 +64,8 @@ def main() -> int:
         serve_forever(svc, host=args.host, port=args.port)
         return 0
 
+    if args.artifact:
+        store = open_store(workdir / "predictors_cs.h5")  # windows only
     srv = ForecastHTTPServer(svc, host="127.0.0.1", port=0).start()
     print(f"[serve] selftest on port {srv.port}")
     idx = [len(store.times) - 3, len(store.times) - 2, len(store.times) - 1]

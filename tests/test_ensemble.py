@@ -311,6 +311,23 @@ class TestLaggedEnsemble:
             est.forecast_lagged(store, init_indices=[2], steps=2,
                                 lags=(0, 5))
 
+    def test_lagged_cache_not_stale_after_stats_change(self, fitted_store):
+        # regression: the jitted-lagged-rollout cache bakes in insolation
+        # stats; a changed normalization (e.g. after a re-fit) must MISS
+        # the cache rather than silently reuse the old closure
+        est, store = fitted_store
+        old = est.forecast_lagged(store, init_indices=[20], steps=1,
+                                  lags=(0, 1))
+        saved = dict(est.stats)
+        try:
+            est.stats = {**est.stats,
+                         "insol_mean": float(est.stats["insol_mean"]) + 5.0}
+            new = est.forecast_lagged(store, init_indices=[20], steps=1,
+                                      lags=(0, 1))
+        finally:
+            est.stats = saved
+        assert not np.allclose(np.asarray(old.mean), np.asarray(new.mean))
+
     def test_batched_inits(self, fitted_store):
         est, store = fitted_store
         ens = est.forecast_lagged(

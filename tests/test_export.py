@@ -125,8 +125,6 @@ class TestExportArtifact:
     def test_artifact_served_over_http(self, artifact):
         # the full deployment story: HTTP front end over the AOT artifact
         # alone, no estimator/model objects
-        import http.client
-
         from dlwp_cs_tpu.serve import (
             ExportedForecastService,
             ForecastHTTPServer,
@@ -155,13 +153,18 @@ class TestExportArtifact:
             with pytest.raises(RuntimeError, match="exported with steps"):
                 forecast_request("127.0.0.1", srv.port, window, t0,
                                  STEPS + 1)
-            # /ensemble unsupported on artifact backends -> 400
-            conn = http.client.HTTPConnection("127.0.0.1", srv.port)
-            body = b"x"
-            conn.request("POST", "/ensemble", body=body,
-                         headers={"Content-Length": str(len(body))})
-            assert conn.getresponse().status == 400
-            conn.close()
+            # /ensemble unsupported on artifact backends: a WELL-FORMED
+            # ensemble request must hit the hasattr gate, not the
+            # malformed-payload 400
+            from dlwp_cs_tpu.serve import ensemble_request
+
+            with pytest.raises(RuntimeError,
+                               match="does not support /ensemble"):
+                ensemble_request("127.0.0.1", srv.port, window, t0,
+                                 STEPS, 3)
+            # meta carries the temporal contract for window construction
+            assert svc.info()["step_hours"] == 6.0
+            assert svc.info()["output_time_steps"] == 2
         finally:
             srv.stop()
         assert svc.stats.requests >= 1
