@@ -56,12 +56,16 @@ __all__ = [
 
 # Trace-time selection of the band-row transport: "ppermute" (XLA
 # collective, default), "rdma" (in-kernel Pallas async remote copy —
-# parallel.rdma_halo), or "rdma_interpret" (same kernel under the TPU
-# interpreter, for CPU-mesh equivalence tests).
+# parallel.rdma_halo), "rdma_interpret" (same kernel under the TPU
+# interpreter, for CPU-mesh equivalence tests), or "zero" (no transport at
+# all — the band rows come back as zeros; used by the fused overlap kernel
+# of :mod:`dlwp_cs_tpu.parallel.overlap_band`, which moves the band
+# exchange INSIDE its Pallas kernel and only needs the seam-collective
+# pieces from :func:`halo_pieces`).
 _BAND_IMPL: contextvars.ContextVar = contextvars.ContextVar(
     "cs_band_exchange", default="ppermute"
 )
-_BAND_IMPLS = ("ppermute", "rdma", "rdma_interpret")
+_BAND_IMPLS = ("ppermute", "rdma", "rdma_interpret", "zero")
 
 
 @contextlib.contextmanager
@@ -172,6 +176,9 @@ def halo_pieces(x, width: int, *, axis_name: str = SPATIAL_AXIS, n_shards: int):
         bwd = [(i, (i - 1) % S) for i in range(S)]
         below = lax.ppermute(x[:, :, h - w :], axis_name, perm=fwd)
         above = lax.ppermute(x[:, :, :w], axis_name, perm=bwd)
+    elif band_impl == "zero":
+        below = jnp.zeros_like(x[:, :, h - w :])
+        above = jnp.zeros_like(x[:, :, :w])
     else:  # in-kernel Pallas RDMA (parallel.rdma_halo)
         from dlwp_cs_tpu.parallel.rdma_halo import band_exchange_rdma
 

@@ -274,14 +274,23 @@ def sharded_model_ctx(
         conv_impl = make_sharded_pallas_conv3x3(
             n_spatial, interpret=band_conv == "pallas_interpret"
         )
+    elif band_conv in ("overlap", "overlap_interpret"):
+        # M6: the fused band kernel whose band-row halo rides in-kernel
+        # async remote copies, interior taps overlapping the transfers
+        # (parallel.overlap_band).
+        from dlwp_cs_tpu.parallel.overlap_band import make_overlap_conv3x3
+
+        conv_impl = make_overlap_conv3x3(
+            n_spatial, interpret=band_conv == "overlap_interpret"
+        )
     elif band_conv == "ringfix":
         from dlwp_cs_tpu.parallel.overlap import make_sharded_conv3x3
 
         conv_impl = make_sharded_conv3x3(n_spatial)
     else:
         raise ValueError(
-            f"unknown band_conv {band_conv!r}; "
-            "want 'ringfix' | 'pallas' | 'pallas_interpret'"
+            f"unknown band_conv {band_conv!r}; want 'ringfix' | 'pallas' | "
+            "'pallas_interpret' | 'overlap' | 'overlap_interpret'"
         )
 
     @contextlib.contextmanager
