@@ -16,13 +16,22 @@ from dlwp_cs_tpu.serve.http import (
     forecast_request,
     serve_forever,
 )
-from dlwp_cs_tpu.serve.service import ForecastService, ServiceStats
+from dlwp_cs_tpu.serve.service import (
+    ForecastService,
+    MicroBatcher,
+    RequestTimeout,
+    ServiceOverloaded,
+    ServiceStats,
+)
 
 __all__ = [
     "ExportedForecastService",
     "ExportedForecaster",
     "ForecastHTTPServer",
     "ForecastService",
+    "MicroBatcher",
+    "RequestTimeout",
+    "ServiceOverloaded",
     "ServiceStats",
     "ensemble_request",
     "export_forecaster",

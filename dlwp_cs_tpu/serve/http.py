@@ -15,11 +15,14 @@ dtypes, streams well):
   (``(1, steps*T_out, 6, n, n, C)``), ``lead_hours``, ``init_times``, and
   ``members`` when kept.
 
-Concurrent ``/forecast`` POSTs coalesce on the service's micro-batcher: the
-server is threaded, each handler blocks on its request's future while the
-batcher groups same-``steps`` requests into one device dispatch.
-``/ensemble`` requests are already batched internally (members fold into
-one dispatch) and run serialized per request instead.
+Concurrent ``/forecast`` and ``/ensemble`` POSTs coalesce on the service's
+micro-batcher: the server is threaded, each handler blocks on its request's
+future while the batcher groups same-config requests into one device
+dispatch (ensemble members additionally fold into the batch axis).
+Backpressure: a full batcher queue returns **503**, a request that expires
+in the queue returns **504**, and server-side ``steps``/``members`` caps
+reject oversized requests with **400** — one client cannot trigger an
+unbounded allocation/compile on a shared endpoint.
 
 Client helper: :func:`forecast_request` (uses ``http.client``; works against
 any host/port, no third-party HTTP stack).
@@ -46,6 +49,18 @@ def _npz_bytes(**arrays) -> bytes:
     buf = io.BytesIO()
     np.savez(buf, **arrays)
     return buf.getvalue()
+
+
+def _error_code(e: Exception) -> int:
+    """Map service errors to HTTP codes: shed load (503), queue expiry
+    (504), everything else a client error (400)."""
+    from dlwp_cs_tpu.serve.service import RequestTimeout, ServiceOverloaded
+
+    if isinstance(e, ServiceOverloaded):
+        return 503
+    if isinstance(e, RequestTimeout):
+        return 504
+    return 400
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -111,7 +126,9 @@ class _Handler(BaseHTTPRequestHandler):
                 window, t0_days, steps=steps, normalized=normalized
             ).result()
         except Exception as e:  # noqa: BLE001 — model/shape errors
-            return self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+            return self._reply_json(
+                _error_code(e), {"error": f"{type(e).__name__}: {e}"}
+            )
         body = _npz_bytes(
             fields=np.asarray(fc.fields, np.float32),
             lead_hours=np.asarray(fc.lead_hours, np.float64),
@@ -135,22 +152,34 @@ class _Handler(BaseHTTPRequestHandler):
                 normalized = bool(z["normalized"]) if "normalized" in z else False
         except Exception as e:  # noqa: BLE001 — malformed request
             return self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
-        if not hasattr(self.service, "forecast_ensemble"):
+        if not hasattr(self.service, "_ensemble_batch"):
             return self._reply_json(
                 400,
                 {"error": "this service does not support /ensemble "
                           "(AOT-artifact backends serve /forecast only)"},
             )
         try:
-            import jax
+            if window.ndim == 6 and window.shape[0] != 1:
+                # explicit multi-window batch: direct dispatch
+                import jax
 
-            fc = self.service.forecast_ensemble(
-                window, t0_days, steps=steps, members=members,
-                amplitude=amplitude, key=jax.random.PRNGKey(seed),
-                keep_members=keep, normalized=normalized,
-            )
+                fc = self.service.forecast_ensemble(
+                    window, t0_days, steps=steps, members=members,
+                    amplitude=amplitude, key=jax.random.PRNGKey(seed),
+                    keep_members=keep, normalized=normalized,
+                )
+            else:
+                # through the micro-batcher: same-config requests coalesce
+                # into one folded dispatch instead of serializing on a lock
+                fc = self.service.submit_ensemble(
+                    window, t0_days, steps=steps, members=members,
+                    amplitude=amplitude, seed=seed,
+                    keep_members=keep, normalized=normalized,
+                ).result()
         except Exception as e:  # noqa: BLE001 — model/shape errors
-            return self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+            return self._reply_json(
+                _error_code(e), {"error": f"{type(e).__name__}: {e}"}
+            )
         arrays = {
             "mean": np.asarray(fc.mean, np.float32),
             "spread": np.asarray(fc.spread, np.float32),

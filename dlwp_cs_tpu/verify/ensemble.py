@@ -70,6 +70,11 @@ def spread_error(members, truth, *, member_axis: int = 1, lead_axis=None):
     ensemble ``rmse ~= spread * sqrt((M+1)/M)``.
     """
     members, truth = _move_members_last(members, truth, member_axis)
+    if members.shape[-1] < 2:
+        raise ValueError(
+            "spread_error needs >= 2 members (ddof=1 spread is undefined "
+            "for a single member)"
+        )
     if lead_axis is None:
         # after the member axis is moved last, the axis that followed it
         # keeps the member axis's old index
@@ -91,9 +96,9 @@ def rank_histogram(members, truth, *, member_axis: int = 1):
 
     The rank of truth within each sorted M-member ensemble (0 = below every
     member, M = above every member), counted over all points.  A reliable
-    ensemble is flat; a U shape means under-dispersion.  Ties count as
-    "member below truth" (exact ties are measure-zero for continuous
-    fields).
+    ensemble is flat; a U shape means under-dispersion.  A member exactly
+    equal to truth counts as *above* it (strict ``<``), lowering the rank;
+    exact ties are measure-zero for continuous fields.
     """
     members, truth = _move_members_last(members, truth, member_axis)
     m = members.shape[-1]

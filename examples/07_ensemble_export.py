@@ -8,7 +8,10 @@ pickle+h5, SURVEY.md §3.3-3.4):
    into the batch axis), scored with CRPS / spread-error against the held-
    out truth in the predictor store;
 2. an AOT StableHLO artifact of the whole rollout (weights baked in) that
-   reloads WITHOUT model code and reproduces the live service bitwise.
+   reloads WITHOUT model code and agrees with the live service to tight
+   numerical tolerance (<1e-4 raw units here; bitwise only when export and
+   serving lower the same conv path on the same platform — a CPU-exported
+   artifact takes the portable XLA path, not the TPU Pallas kernel).
 
 Usage:
   python examples/07_ensemble_export.py --workdir /tmp/dlwp \

