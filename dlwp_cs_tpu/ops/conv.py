@@ -281,11 +281,21 @@ def _pallas_unprofitable(x, kernel_eq) -> bool:
     unavailable (p == 1) and a contracting channel count (the decoder's
     concat convs, 96->32 / 192->64 — cin > cout).  Square pack=1 shapes
     (the 128->128 bottleneck) and expanding model-packed shapes (28->128)
-    keep the kernel — its per-conv MXU fill is best there (PERF.md)."""
+    keep the kernel — its per-conv MXU fill is best there (PERF.md).
+
+    Only applies at TRAINING-SCALE batches (folded conv batch B*6 >= 48,
+    the regime of the r3/r4 measurements, e.g. 559 vs 686 us fwd at b=96).
+    At serving batches (the b=1 rollout folds to 6) every formulation is
+    dispatch/underfill-bound and the ring-fix's ~18 small XLA ops LOSE to
+    the one fused kernel: routing the b=1 decoder convs to ring-fix cost
+    the 56-step rollout 8.8 -> 12.7 ms, measured in the round-5 pinned
+    same-session A/B (PERF.md round 5)."""
     from dlwp_cs_tpu.ops.pallas_conv import _pack_factor
 
     b, _, n, _, cin = x.shape
     cout = kernel_eq.shape[-1]
+    if b * 6 < 48:
+        return False
     p = _pack_factor(b, n, cin, cout, jnp.dtype(x.dtype).itemsize)
     return p == 1 and cin > cout
 
@@ -303,21 +313,41 @@ def _pad_impl_installed() -> bool:
 
 
 def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
-    """Dispatch to the VMEM-fused Pallas kernel when applicable; else None."""
+    """Dispatch to the VMEM-fused Pallas kernel when applicable; else None.
+
+    Shapes past the full-face VMEM gate (wide C96+, PERF.md round 4) fall
+    through to the ROW-BLOCKED kernel variant when one fits
+    (:func:`~dlwp_cs_tpu.ops.pallas_conv.blocked_row_count`); only then to
+    the XLA ring-fix composition.
+    """
     from dlwp_cs_tpu.ops.pallas_conv import (
         backward_mode,
+        blocked_row_count,
         cs_conv3x3_pallas,
+        cs_conv3x3_pallas_blocked,
         pallas_supported,
     )
 
     if _pad_impl_installed():
         return None
-    if not pallas_supported(x.shape, k_eq.shape[:2], stride, dilation,
-                            x.dtype, cout=k_eq.shape[-1]):
-        return None
     interpret = backend == "pallas_interpret"
     cout = k_eq.shape[-1]
     zb = jnp.zeros((cout,), x.dtype)
+    if not pallas_supported(x.shape, k_eq.shape[:2], stride, dilation,
+                            x.dtype, cout=cout):
+        h = blocked_row_count(x.shape, k_eq.shape[:2], stride, dilation,
+                              x.dtype, cout=cout)
+        if h is None:
+            return None
+        return cs_conv3x3_pallas_blocked(
+            x,
+            k_eq,
+            k_pole,
+            zb if b_eq is None else b_eq,
+            zb if b_pole is None else b_pole,
+            h,
+            interpret,
+        )
     return cs_conv3x3_pallas(
         x,
         k_eq,

@@ -81,7 +81,9 @@ from dlwp_cs_tpu.ops import packing
 from dlwp_cs_tpu.ops.halo import ext_strips
 
 __all__ = [
+    "blocked_row_count",
     "cs_conv3x3_pallas",
+    "cs_conv3x3_pallas_blocked",
     "pallas_supported",
     "use_pallas_backward",
     "vmem_estimate_bytes",
@@ -122,7 +124,7 @@ def backward_mode() -> str:
 
 
 def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
-            *, n, h=None):
+            *, n, h=None, nblk=1):
     """One (batch, face) block: assemble the padded face in VMEM, convolve.
 
     Gridding over faces (not just batch) keeps the per-step VMEM footprint
@@ -136,10 +138,14 @@ def _kernel(x_ref, ext_ref, keq_ref, kpo_ref, beq_ref, bpo_ref, out_ref, xpad,
     ``(h, n)`` band whose ghost strips came from the halo collectives; the
     S/N ext rows then have length ``n + 2`` as usual while the W/E ext
     strips carry their ``h`` interior ghosts at positions ``1..h``.
+
+    ``nblk`` (default 1): row bands per face for the single-device BLOCKED
+    path (:func:`cs_conv3x3_pallas_blocked`) — grid dim 1 then enumerates
+    ``6 * nblk`` (face, band) pairs and the face id is ``id // nblk``.
     """
     h = n if h is None else h
     cout = out_ref.shape[-1]
-    f = pl.program_id(1)
+    f = pl.program_id(1) // nblk
     is_equatorial = f < 4
 
     def kk(dy, dx):
@@ -311,6 +317,177 @@ def pallas_supported(x_shape, kernel_size, stride, dilation, dtype,
     return (
         vmem_estimate_bytes(n, cin, cout, dtype_bytes) + stack < 15 * 2**20
     )
+
+
+def blocked_row_count(x_shape, kernel_size, stride, dilation, dtype,
+                      cout: int | None = None) -> int | None:
+    """Row-block height for shapes past the full-face VMEM gate, or None.
+
+    The capacity sweep (PERF.md round 4) found wide-C96 configurations
+    running at 5.3 % of peak with the fused kernel gated out (the f32
+    tap-accumulation stack alone exceeds scoped VMEM at n=96, cout>=64).
+    Both the xpad scratch AND the accumulation stack scale with the block
+    height ``h``, so gridding each face into ``n/h`` row bands brings
+    beyond-VMEM shapes back under the gate (VERDICT r4 next #3).  Returns
+    the largest ``h`` in (n/2, n/4, n/8) that fits, requiring h >= 8 (a
+    thinner band spends its time on the two ghost-row boundaries).
+    """
+    if tuple(kernel_size) != (3, 3) or stride != 1 or dilation != 1:
+        return None
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
+        return None
+    n = x_shape[-2]
+    if x_shape[-3] != n or n < 16:
+        return None
+    dtype_bytes = jnp.dtype(dtype).itemsize
+    cin = x_shape[-1]
+    cout = cin if cout is None else int(cout)
+    for div in (2, 4, 8):
+        if n % div:
+            continue
+        h = n // div
+        if h < 8:
+            break
+        stack = 6 * h * n * cout * 4
+        if vmem_estimate_bytes(n, cin, cout, dtype_bytes, h=h) + stack \
+                < 15 * 2**20:
+            return h
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def cs_conv3x3_pallas_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block,
+                              interpret=False):
+    """Row-blocked fused CS conv for beyond-VMEM shapes (3x3/stride-1).
+
+    Same contract as :func:`cs_conv3x3_pallas`, but each face is gridded
+    into ``n / row_block`` horizontal bands, so the VMEM working set (xpad
+    scratch + f32 tap-accumulation stack) scales with ``row_block`` instead
+    of ``n``.  Interior bands take their ghost rows from the face itself
+    and their ghost-row corner cells from the face's W/E ghost columns —
+    all local XLA slices of :func:`ops.halo.ext_strips` + ``x``; only the
+    outer bands consume cross-face topology.  The kernel body is the SAME
+    ``_kernel`` as the band-sharded path (``h = row_block``).  Backward:
+    the XLA ring-fix composition VJP, as for the full-face kernel.
+    No batch->lane packing: this path exists for channel counts that
+    already fill the lanes (pack factor 1).
+    """
+    return _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block,
+                            interpret)
+
+
+def _blocked_ext(x, ext, nblk: int, h: int):
+    """Per-band ghost strips ``(B, 6, nblk, 4, n+2, C)`` from local slices.
+
+    Band k's S/N ghost rows are face rows ``k*h - 1`` / ``(k+1)*h`` (outer
+    bands: the cross-face ``ext`` rows); their corner cells come from the
+    face's W/E ghost columns at those rows (``ext`` W/E strip positions
+    ``k*h`` / ``(k+1)*h + 1``).  W/E entries cover the band's rows at
+    positions ``1..h`` (the `_kernel` contract for ``h < n``).
+    """
+    b, _, n, _, c = x.shape
+    ws, es = ext[:, :, 2], ext[:, :, 3]  # (B, 6, n+2, C), pos t <-> row t-1
+    s_rows, n_rows, we_rows = [], [], []
+    for k in range(nblk):
+        if k == 0:
+            s_rows.append(ext[:, :, 0])
+        else:
+            r = k * h - 1
+            s_rows.append(jnp.concatenate(
+                [ws[:, :, r + 1 : r + 2], x[:, :, r], es[:, :, r + 1 : r + 2]],
+                axis=2,
+            ))
+        if k == nblk - 1:
+            n_rows.append(ext[:, :, 1])
+        else:
+            r = (k + 1) * h
+            n_rows.append(jnp.concatenate(
+                [ws[:, :, r + 1 : r + 2], x[:, :, r], es[:, :, r + 1 : r + 2]],
+                axis=2,
+            ))
+        # band W/E ghost columns at buffer positions 1..h (zero elsewhere)
+        pad = ((0, 0), (0, 0), (1, n + 1 - h), (0, 0))
+        we_rows.append(jnp.stack(
+            [
+                jnp.pad(ws[:, :, k * h + 1 : k * h + h + 1], pad),
+                jnp.pad(es[:, :, k * h + 1 : k * h + h + 1], pad),
+            ],
+            axis=2,
+        ))
+    s = jnp.stack(s_rows, axis=2)  # (B, 6, nblk, n+2, C)
+    nn = jnp.stack(n_rows, axis=2)
+    we = jnp.stack(we_rows, axis=2)  # (B, 6, nblk, 2, n+2, C)
+    return jnp.concatenate(
+        [s[:, :, :, None], nn[:, :, :, None], we], axis=3
+    )  # (B, 6, nblk, 4, n+2, C)
+
+
+def _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, interpret):
+    b, nf, n, n2, cin = x.shape
+    if nf != 6 or n != n2:
+        raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
+    h = int(row_block)
+    if h < 1 or n % h:
+        raise ValueError(f"row_block {h} must divide n={n}")
+    nblk = n // h
+    cout = k_eq.shape[-1]
+    k_eq = k_eq.astype(x.dtype)
+    k_pole = k_pole.astype(x.dtype)
+    b_eq = b_eq.reshape(1, cout).astype(x.dtype)
+    b_pole = b_pole.reshape(1, cout).astype(x.dtype)
+    ext = ext_strips(x)
+    bext = _blocked_ext(x, ext, nblk, h).reshape(
+        b, 6 * nblk, 4, n + 2, cin
+    )
+    xb = x.reshape(b, 6 * nblk, h, n, cin)
+    kernel = functools.partial(_kernel, n=n, h=h, nblk=nblk)
+    flops = 2 * b * 6 * n * n * 9 * cin * cout
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, 6 * nblk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, h, n, cin), lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 4, n + 2, cin), lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h, n, cout), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 6 * nblk, h, n, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h + 2, n + 2, cin), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xb, bext, k_eq, k_pole, b_eq, b_pole)
+    return out.reshape(b, 6, n, n, cout)
+
+
+def _fwd_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, interpret):
+    out = _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block,
+                           interpret)
+    return out, (x, k_eq, k_pole, b_eq, b_pole)
+
+
+def _bwd_blocked(row_block, interpret, res, g):
+    x, k_eq, k_pole, b_eq, b_pole = res
+    _, pullback = jax.vjp(_xla_reference, x, k_eq, k_pole, b_eq, b_pole)
+    return pullback(g)
+
+
+cs_conv3x3_pallas_blocked.defvjp(_fwd_blocked, _bwd_blocked)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
