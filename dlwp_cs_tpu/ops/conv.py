@@ -290,10 +290,16 @@ def _pallas_unprofitable(x, kernel_eq) -> bool:
     the one fused kernel: routing the b=1 decoder convs to ring-fix cost
     the 56-step rollout 8.8 -> 12.7 ms, measured in the round-5 pinned
     same-session A/B (PERF.md round 5)."""
-    from dlwp_cs_tpu.ops.pallas_conv import _pack_factor
+    from dlwp_cs_tpu.ops.pallas_conv import _pack_factor, backward_mode
 
     b, _, n, _, cin = x.shape
     cout = kernel_eq.shape[-1]
+    if backward_mode() != "xla":
+        # Only the ring-fix COMPOSITION backward loses to dual-base
+        # ring-fix at these shapes; under the round-5 "split" default the
+        # kernel wins everywhere measured (9.37 vs 9.89 ms/step with the
+        # heuristic on — tools/r5_dispatch_ab.py).
+        return False
     if b * 6 < 48:
         return False
     p = _pack_factor(b, n, cin, cout, jnp.dtype(x.dtype).itemsize)

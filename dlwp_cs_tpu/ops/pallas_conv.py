@@ -90,11 +90,16 @@ __all__ = [
 ]
 
 # Backward-mode selection for 'auto'/'pallas' dispatch (ops.conv reads this
-# at trace time).  Modes: "xla" (composition VJP, default), "packdw",
-# "hybrid", "fused" — see the module docstring for what each is and why
-# only "xla" survived measurement.
+# at trace time).  Modes: "split" (hand-derived VJP — XLA's own SAME-conv
+# VJP + explicit ring transpose + scatter-free Eᵀ fold, ops.ring_kernel —
+# the DEFAULT since round 5), "xla" (ring-fix composition VJP, the r2-r4
+# default), "packdw", "hybrid", "fused" — module docstring.  The round-5
+# same-session A/B (tools/r5_dispatch_ab.py, PERF.md round 5) measured
+# split at 9.37 ms/step with kernel-everywhere dispatch vs 11.18 for the
+# r4 production config and 12.14 for r3's — the composition VJP had been
+# dragging the step since the dual-base ring-fix landed (5503518).
 _BWD_MODE: contextvars.ContextVar = contextvars.ContextVar(
-    "cs_conv3x3_pallas_bwd", default="xla"
+    "cs_conv3x3_pallas_bwd", default="split"
 )
 
 _BWD_MODES = ("xla", "split", "packdw", "hybrid", "fused")

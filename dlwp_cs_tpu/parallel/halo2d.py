@@ -41,7 +41,7 @@ from dlwp_cs_tpu.geometry.cubed_sphere import EDGE_E, EDGE_N, EDGE_S, EDGE_W
 from dlwp_cs_tpu.ops.padding import padding_plan
 from dlwp_cs_tpu.parallel.mesh import SPATIAL_AXIS, SPATIAL_X_AXIS
 
-__all__ = ["sharded_cs_pad_2d", "make_sharded_pad_2d"]
+__all__ = ["halo_pieces_2d", "sharded_cs_pad_2d", "make_sharded_pad_2d"]
 
 
 def sharded_cs_pad_2d(
@@ -65,6 +65,32 @@ def sharded_cs_pad_2d(
     Returns the local padded block ``(B, 6, h + 2w, wl + 2w, C)`` — identical
     to the corresponding row/column slice of ``cs_pad`` on the gathered
     global field.
+    """
+    bottom_full, top_full, west_mid, east_mid = halo_pieces_2d(
+        x, width, axis_y=axis_y, axis_x=axis_x, sy=sy, sx=sx
+    )
+    mid = jnp.concatenate([west_mid, x, east_mid], axis=3)
+    return jnp.concatenate([bottom_full, mid, top_full], axis=2)
+
+
+def halo_pieces_2d(
+    x,
+    width: int,
+    *,
+    axis_y: str = SPATIAL_AXIS,
+    axis_x: str = SPATIAL_X_AXIS,
+    sy: int,
+    sx: int,
+):
+    """The halo of a 2-D-tiled field as four strips (not assembled).
+
+    Returns ``(bottom, top, west, east)`` for the local tile
+    ``(B, 6, h, wl, C)``: ``bottom``/``top`` are ``(B, 6, w, wl+2w, C)``
+    ghost ROWS including the corner columns; ``west``/``east`` are
+    ``(B, 6, h, w, C)`` ghost COLUMNS for the local rows only — the same
+    contract as the 1-D :func:`dlwp_cs_tpu.parallel.halo.halo_pieces`, so
+    a fused tile conv (:mod:`dlwp_cs_tpu.parallel.pallas_tile`) can
+    consume the pieces without materializing the padded block.
     """
     b, nf, h, wl, c = x.shape
     if nf != 6:
@@ -181,43 +207,36 @@ def sharded_cs_pad_2d(
     e_block = jnp.swapaxes(gE, 2, 3)
     left = left_x * (1 - is_left) + w_block * is_left
     right = right_x * (1 - is_right) + e_block * is_right
-    padded = jnp.concatenate([left, core, right], axis=3)
 
-    # ---- step 3: global cube corners (cs_pad's averaging) ------------------
+    # ---- step 3: global cube corners (cs_pad's averaging), expressed on
+    # the PIECES (bottom/top are core's ghost-row bands; left/right carry
+    # the ghost columns for all h + 2w padded rows).
     hw = h + w
-    sw = 0.5 * (padded[:, :, :w, w : w + 1] + padded[:, :, w : w + 1, :w])
-    se = 0.5 * (
-        padded[:, :, :w, w + wl - 1 : w + wl] + padded[:, :, w : w + 1, wl + w :]
-    )
-    nw = 0.5 * (padded[:, :, hw:, w : w + 1] + padded[:, :, hw - 1 : hw, :w])
-    ne = 0.5 * (
-        padded[:, :, hw:, w + wl - 1 : w + wl]
-        + padded[:, :, hw - 1 : hw, wl + w :]
-    )
+    sw = 0.5 * (bottom[:, :, :, 0:1] + left[:, :, w : w + 1, :])
+    se = 0.5 * (bottom[:, :, :, wl - 1 : wl] + right[:, :, w : w + 1, :])
+    nw = 0.5 * (top[:, :, :, 0:1] + left[:, :, hw - 1 : hw, :])
+    ne = 0.5 * (top[:, :, :, wl - 1 : wl] + right[:, :, hw - 1 : hw, :])
     c_sw = is_bot * is_left
     c_se = is_bot * is_right
     c_nw = is_top * is_left
     c_ne = is_top * is_right
-    # Surgical corner replacement via row-band reassembly (static slices).
-    bot_band = padded[:, :, :w]
-    top_band = padded[:, :, hw:]
-    bot_band = jnp.concatenate(
+    bottom_full = jnp.concatenate(
         [
-            bot_band[:, :, :, :w] * (1 - c_sw) + sw * c_sw,
-            bot_band[:, :, :, w : w + wl],
-            bot_band[:, :, :, w + wl :] * (1 - c_se) + se * c_se,
+            left[:, :, :w] * (1 - c_sw) + sw * c_sw,
+            bottom,
+            right[:, :, :w] * (1 - c_se) + se * c_se,
         ],
         axis=3,
     )
-    top_band = jnp.concatenate(
+    top_full = jnp.concatenate(
         [
-            top_band[:, :, :, :w] * (1 - c_nw) + nw * c_nw,
-            top_band[:, :, :, w : w + wl],
-            top_band[:, :, :, w + wl :] * (1 - c_ne) + ne * c_ne,
+            left[:, :, hw:] * (1 - c_nw) + nw * c_nw,
+            top,
+            right[:, :, hw:] * (1 - c_ne) + ne * c_ne,
         ],
         axis=3,
     )
-    return jnp.concatenate([bot_band, padded[:, :, w:hw], top_band], axis=2)
+    return bottom_full, top_full, left[:, :, w:hw], right[:, :, w:hw]
 
 
 def make_sharded_pad_2d(

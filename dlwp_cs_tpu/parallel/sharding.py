@@ -254,6 +254,26 @@ def sharded_model_ctx(
         from dlwp_cs_tpu.parallel.halo2d import make_sharded_pad_2d
 
         pad2d = make_sharded_pad_2d(n_spatial, n_spatial_x)
+        if band_conv in ("pallas", "pallas_interpret"):
+            # 2-D fused tile conv (parallel.pallas_tile): every supported
+            # 3x3 through the VMEM kernel on exchanged halo pieces; other
+            # layers keep pad-then-VALID via the installed 2-D pad.
+            from dlwp_cs_tpu.ops.conv import use_conv3x3_impl
+            from dlwp_cs_tpu.parallel.pallas_tile import (
+                make_tile_pallas_conv3x3,
+            )
+
+            tile_conv = make_tile_pallas_conv3x3(
+                n_spatial, n_spatial_x,
+                interpret=band_conv == "pallas_interpret",
+            )
+
+            @contextlib.contextmanager
+            def ctx2d():
+                with use_pad_impl(pad2d), use_conv3x3_impl(tile_conv):
+                    yield
+
+            return ctx2d
         return lambda: use_pad_impl(pad2d)
     from dlwp_cs_tpu.parallel.halo import use_band_exchange
 
