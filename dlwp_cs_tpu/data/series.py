@@ -21,6 +21,9 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import itertools
+from collections import deque
+
 import numpy as np
 
 from dlwp_cs_tpu.geometry.insolation import insolation
@@ -91,6 +94,7 @@ class SeriesDataset:
         sample_slice: slice | None = None,
         sequence: int | None = None,
         seed: int = 0,
+        workers: int = 0,
     ):
         self.store = store
         self.cfg = cfg
@@ -114,6 +118,9 @@ class SeriesDataset:
         if self.sequence is not None and self.sequence < 1:
             raise ValueError(f"sequence must be >= 1, got {sequence}")
         self._rng = np.random.default_rng(seed)
+        # batch-assembly thread pool size; > 1 makes __iter__ delegate to
+        # iter_batches (same delivery order — see its docstring)
+        self.workers = int(workers)
 
         t_total = store.fields.shape[0]
         n_out_windows = self.sequence or 1
@@ -171,7 +178,18 @@ class SeriesDataset:
         flat = idx2d.reshape(-1)
         if isinstance(fields, np.ndarray):
             out = fields[flat]
-        else:  # h5py: fancy indexing needs sorted unique indices
+        elif hasattr(fields, "read_direct"):
+            # h5py: one read PER UNIQUE ROW.  A single fancy-index read
+            # (`fields[uniq.tolist()]`) goes through h5py's point-selection
+            # machinery and measured ~55x SLOWER than row reads (0.22 s vs
+            # 4 ms for 32 rows of a C48 store — PERF.md round 5, the 130x
+            # store-fed trainer stall).
+            uniq, inv = np.unique(flat, return_inverse=True)
+            rows = np.empty((len(uniq),) + fields.shape[1:], fields.dtype)
+            for j, i in enumerate(uniq):
+                fields.read_direct(rows, np.s_[int(i)], np.s_[j])
+            out = rows[inv]
+        else:  # tensorstore wrapper etc.: fancy indexing, sorted unique
             uniq, inv = np.unique(flat, return_inverse=True)
             out = np.asarray(fields[uniq.tolist()])[inv]
         return out.reshape(idx2d.shape + fields.shape[1:]).astype(np.float32)
@@ -179,7 +197,12 @@ class SeriesDataset:
     def _normalize(self, x: np.ndarray) -> np.ndarray:
         if not self.scale:
             return x
-        return (x - self._mean) / self._std
+        # in place: every caller passes a freshly materialized array, and
+        # the two temporaries of `(x - mean) / std` cost ~28 MB of
+        # allocation+copy per flagship batch on the hot path
+        x -= self._mean
+        x /= self._std
+        return x
 
     def _impute_fill(self) -> np.ndarray:
         """(6, n, n, C) per-cell fill values for ``impute='cell_mean'``.
@@ -268,7 +291,7 @@ class SeriesDataset:
             targets = np.moveaxis(targets, -1, 1)
         return inputs, targets
 
-    def __iter__(self):
+    def _epoch_slices(self):
         order = self._starts.copy()
         if self.shuffle:
             self._rng.shuffle(order)
@@ -278,8 +301,50 @@ class SeriesDataset:
             if self.drop_remainder
             else self.n_samples
         )
-        for lo in range(0, stop, bs):
-            yield self.make_batch(order[lo : lo + bs])
+        return [order[lo : lo + bs] for lo in range(0, stop, bs)]
+
+    def __iter__(self):
+        if self.workers > 1:
+            return self.iter_batches(self.workers)
+        return (self.make_batch(s) for s in self._epoch_slices())
+
+    def iter_batches(self, workers: int):
+        """Epoch iterator assembling up to ``workers`` batches concurrently.
+
+        Batch ASSEMBLY (h5 row reads, normalization, insolation, channel
+        fold — ~60 ms of host numpy per flagship batch) dominates the
+        input pipeline once the device step is ~10 ms; numpy releases the
+        GIL for the big ufuncs and h5py serializes HDF5 calls internally,
+        so a small thread pool overlaps cleanly.  Delivery order is
+        IDENTICAL to the serial iterator (futures resolved in submission
+        order), so shuffling/resume determinism is unchanged.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        slices = self._epoch_slices()
+        if self.impute == "cell_mean":
+            self._impute_fill()  # prime the cache outside the pool
+
+        def gen():
+            # no `with`: an abandoned generator is finalized during GC /
+            # interpreter teardown, where the context manager's blocking
+            # join can die mid-shutdown — cancel and return instead
+            ex = ThreadPoolExecutor(int(workers))
+            try:
+                inflight = deque()
+                it = iter(slices)
+                for s in itertools.islice(it, int(workers) + 2):
+                    inflight.append(ex.submit(self.make_batch, s))
+                while inflight:
+                    f = inflight.popleft()
+                    for s in it:
+                        inflight.append(ex.submit(self.make_batch, s))
+                        break
+                    yield f.result()
+            finally:
+                ex.shutdown(wait=False, cancel_futures=True)
+
+        return gen()
 
     # Valid-time helper for verification alignment.
     def target_times(self) -> np.ndarray:

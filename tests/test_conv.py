@@ -177,21 +177,31 @@ class TestLosses:
 
 
 def test_pallas_unprofitable_gate():
-    """Auto-dispatch heuristic: pack=1 contracting shapes (decoder concat
-    convs) route to the dual-base ring-fix composition; packed, square, and
-    expanding shapes keep the fused Pallas kernel (PERF.md r3)."""
+    """Auto-dispatch heuristic (r4), retired to legacy status in r5: under
+    the default "split" backward the fused kernel wins EVERYWHERE measured
+    (tools/r5_dispatch_ab.py — PERF.md round 5), so the heuristic must be
+    inert; under the legacy "xla" composition backward it still routes
+    pack=1 contracting TRAINING-batch shapes (decoder concat convs) to the
+    dual-base ring-fix, but never serving batches (the b=1 rollout lost
+    45 % to it — PERF.md round 5)."""
     import jax.numpy as jnp
 
     from dlwp_cs_tpu.ops.conv import _pallas_unprofitable
+    from dlwp_cs_tpu.ops.pallas_conv import use_pallas_backward
 
     def flag(b, n, cin, cout):
         x = jnp.zeros((b, 6, n, n, cin), jnp.bfloat16)
         k = jnp.zeros((3, 3, cin, cout), jnp.bfloat16)
         return _pallas_unprofitable(x, k)
 
-    assert flag(16, 48, 96, 32)      # decoder 96->32: ring-fix
-    assert flag(16, 24, 192, 64)     # decoder 192->64: ring-fix
-    assert not flag(16, 48, 32, 32)  # packable outer level: pallas
-    assert not flag(16, 24, 64, 64)  # packable mid level: pallas
-    assert not flag(16, 12, 128, 128)  # square bottleneck: pallas
-    assert not flag(4, 48, 28, 128)  # model-packed expanding: pallas
+    # default ("split") backward: kernel everywhere
+    assert not flag(16, 48, 96, 32)
+    assert not flag(16, 24, 192, 64)
+    with use_pallas_backward("xla"):
+        assert flag(16, 48, 96, 32)      # decoder 96->32: ring-fix
+        assert flag(16, 24, 192, 64)     # decoder 192->64: ring-fix
+        assert not flag(1, 48, 96, 32)   # serving batch: keep the kernel
+        assert not flag(16, 48, 32, 32)  # packable outer level: pallas
+        assert not flag(16, 24, 64, 64)  # packable mid level: pallas
+        assert not flag(16, 12, 128, 128)  # square bottleneck: pallas
+        assert not flag(4, 48, 28, 128)  # model-packed expanding: pallas

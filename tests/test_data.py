@@ -279,6 +279,23 @@ class TestSeriesDataset:
         assert 300 < m < 380
         assert 300 < s < 500
 
+    def test_parallel_assembly_matches_serial(self):
+        """workers>1 delivers bit-identical batches in the serial order
+        (round-5 input-pipeline fix — PERF.md)."""
+        store = _store(t=20)
+        cs = CubedSphere(N)
+        lat, lon = cs.cell_latlon
+        cfg = DataConfig(grid_n=N, variables=("z500", "t2m"), constants=())
+        common = dict(lat=lat, lon=lon, batch_size=4, shuffle=True, seed=11)
+        serial = SeriesDataset(store, cfg, **common)
+        threaded = SeriesDataset(store, cfg, workers=3, **common)
+        got = list(threaded)
+        want = list(serial)
+        assert len(got) == len(want) > 0
+        for (xa, ya), (xb, yb) in zip(want, got):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+
 
 class TestPrefetch:
     def test_order_and_device(self):

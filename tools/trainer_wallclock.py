@@ -9,6 +9,16 @@ pure trainer overhead: dispatch cadence, metric readback, bookkeeping).
 Run ON TPU: ``python tools/trainer_wallclock.py [--fused k] [--steps N]``.
 Prints ms/step for epoch 2+ (epoch 1 pays compile) and the per-step
 dispatch/data-wait decomposition the Trainer already records.
+
+``--store`` (VERDICT r4 next #5 / BASELINE config 4): instead of
+device-resident synthetic batches, feed the REAL input pipeline at
+flagship scale — an on-disk HDF5 predictor store (written once, ~450 MB)
+-> lazy ``H5Store`` -> ``SeriesDataset`` (shuffled windows, h5py sorted-
+unique gathers, host-side normalization + insolation) ->
+``PrefetchIterator`` (depth 2, host->device) -> ``Trainer.fit``.  The gap
+between this row and the synthetic row IS the input-pipeline overhead;
+``data_wait_s`` decomposes it (time the device actually stalled on the
+host iterator).
 """
 
 from __future__ import annotations
@@ -39,6 +49,15 @@ def main() -> int:
     ap.add_argument("--metrics-every", type=int, default=None,
                     help="flush cadence in FUSED DISPATCHES (default: once "
                     "per epoch)")
+    ap.add_argument("--store", action="store_true",
+                    help="feed the real HDF5 -> SeriesDataset -> "
+                    "PrefetchIterator pipeline instead of device-resident "
+                    "synthetic batches")
+    ap.add_argument("--store-dir", default="/tmp/dlwp_storebench",
+                    help="where the synthetic predictor store lives "
+                    "(written on first use)")
+    ap.add_argument("--workers", type=int, default=6,
+                    help="batch-assembly threads for --store (0 = serial)")
     args = ap.parse_args()
 
     dcfg = DataConfig(grid_n=N)
@@ -67,8 +86,12 @@ def main() -> int:
     trainer = Trainer(model, tcfg)
     state = trainer.init(x)
 
-    def epoch_data():
-        return ((x, y) for _ in range(args.steps))
+    if args.store:
+        epoch_data, n_steps = _store_pipeline(args, dcfg)
+        args.steps = n_steps
+    else:
+        def epoch_data():
+            return ((x, y) for _ in range(args.steps))
 
     times = []
     for ep in range(args.epochs):
@@ -92,6 +115,60 @@ def main() -> int:
         f"(mean dispatch {disp:.2f} ms, data wait {wait:.3f} ms per record)"
     )
     return 0
+
+
+def _store_pipeline(args, dcfg):
+    """(epoch_data, steps_per_epoch): the real store-fed input path."""
+    from dlwp_cs_tpu.data import SeriesDataset, open_store, prefetch_to_device
+    from dlwp_cs_tpu.data.store import MemoryStore, write_store
+    from dlwp_cs_tpu.geometry import CubedSphere
+
+    path = Path(args.store_dir) / "predictors_cs.h5"
+    t_total = args.steps * BATCH + 8  # enough windows for one epoch
+    if not path.exists() or _store_too_small(path, t_total):
+        print(f"[store] writing {path} ({t_total} samples)...", flush=True)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(7)
+        mem = MemoryStore.from_raw(
+            rng.normal(size=(t_total, 6, N, N, dcfg.n_variables)).astype(
+                np.float32
+            ),
+            np.arange(t_total) * (dcfg.step_hours / 24.0),
+            dcfg.variables,
+            constants=rng.normal(size=(6, N, N, len(dcfg.constants))).astype(
+                np.float32
+            ),
+            constant_names=dcfg.constants,
+        )
+        write_store(path, mem)
+    h5 = open_store(path)  # LAZY: fields stay on disk
+    cs = CubedSphere(N)
+    lat, lon = cs.cell_latlon
+    ds = SeriesDataset(
+        h5, dcfg, lat=lat, lon=lon, batch_size=BATCH, shuffle=True,
+        workers=args.workers,
+    )
+    steps = min(len(ds), args.steps)
+
+    def epoch_data():
+        def limited():
+            for i, item in enumerate(iter(ds)):
+                if i >= steps:
+                    return
+                yield item
+
+        return prefetch_to_device(limited())
+
+    print(f"[store] H5 {path} -> SeriesDataset ({ds.n_samples} windows) "
+          f"-> prefetch(depth=2), {steps} steps/epoch", flush=True)
+    return epoch_data, steps
+
+
+def _store_too_small(path, t_total) -> bool:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return f["fields"].shape[0] < t_total
 
 
 if __name__ == "__main__":
