@@ -10,6 +10,7 @@ from dlwp_cs_tpu.data.series import SeriesDataset, insolation_stats
 from dlwp_cs_tpu.data.store import (
     H5Store,
     MemoryStore,
+    normalize_store,
     open_store,
     select_constants,
     write_store,
@@ -34,6 +35,7 @@ __all__ = [
     "insolation_stats",
     "H5Store",
     "MemoryStore",
+    "normalize_store",
     "open_store",
     "select_constants",
     "write_store",

@@ -142,6 +142,14 @@ class SeriesDataset:
             self.insol_mean, self.insol_std = 0.0, 1.0
         self._mean = np.asarray(store.mean, np.float32)
         self._std = np.asarray(store.std, np.float32)
+        # pre-normalized training cache (store.normalize_store): the
+        # per-batch normalization pass — a full read-modify-write of every
+        # window on the host hot path — is already baked into the fields
+        self.prenormalized = bool(
+            getattr(store, "attrs", {}).get("normalized")
+        )
+        if self.prenormalized:
+            self.scale = False
         if store.constants is not None and len(cfg.constants) > 0:
             from dlwp_cs_tpu.data.store import select_constants
 
@@ -192,7 +200,11 @@ class SeriesDataset:
         else:  # tensorstore wrapper etc.: fancy indexing, sorted unique
             uniq, inv = np.unique(flat, return_inverse=True)
             out = np.asarray(fields[uniq.tolist()])[inv]
-        return out.reshape(idx2d.shape + fields.shape[1:]).astype(np.float32)
+        # every branch above produced a FRESH array (fancy indexing copies),
+        # so copy=False avoids a further 14 MB pass for f32 stores
+        return out.reshape(idx2d.shape + fields.shape[1:]).astype(
+            np.float32, copy=False
+        )
 
     def _normalize(self, x: np.ndarray) -> np.ndarray:
         if not self.scale:
@@ -342,7 +354,10 @@ class SeriesDataset:
                         break
                     yield f.result()
             finally:
-                ex.shutdown(wait=False, cancel_futures=True)
+                try:
+                    ex.shutdown(wait=False, cancel_futures=True)
+                except Exception:  # noqa: BLE001 — interpreter teardown
+                    pass
 
         return gen()
 

@@ -21,6 +21,7 @@ for this stack:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -140,6 +141,28 @@ class MemoryStore:
             constant_names=tuple(constant_names),
             attrs=attrs,
         )
+
+
+def normalize_store(store: MemoryStore) -> MemoryStore:
+    """Pre-normalized copy of a store (``attrs['normalized'] = True``).
+
+    A TRAINING-CACHE transform (VERDICT r4 #5 / BASELINE config 4): with
+    the fields stored as ``(x - mean) / std`` f32, the hot input path
+    skips the per-batch normalization pass entirely —
+    :class:`~dlwp_cs_tpu.data.series.SeriesDataset` detects the attr and
+    serves the fields as-is while keeping ``mean``/``std`` for
+    denormalization.  Write the result with :func:`write_store` (HDF5) or
+    :func:`~dlwp_cs_tpu.data.tscache.write_ts_cache` (tensorstore).
+    """
+    if store.attrs.get("normalized"):
+        return store
+    fields = (
+        (np.asarray(store.fields, np.float32) - store.mean.astype(np.float32))
+        / store.std.astype(np.float32)
+    )
+    return dataclasses.replace(
+        store, fields=fields, attrs={**store.attrs, "normalized": True}
+    )
 
 
 def write_store(path, store: MemoryStore) -> Path:

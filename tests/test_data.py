@@ -279,6 +279,36 @@ class TestSeriesDataset:
         assert 300 < m < 380
         assert 300 < s < 500
 
+    def test_prenormalized_cache_matches_raw(self, tmp_path):
+        """normalize_store + SeriesDataset auto-detect: identical batches
+        to the raw-store path without the per-batch normalization pass
+        (round-5 training-cache feature), through BOTH writers."""
+        from dlwp_cs_tpu.data import (
+            normalize_store,
+            open_store,
+            write_store,
+        )
+
+        store = _store(t=16)
+        cs = CubedSphere(N)
+        lat, lon = cs.cell_latlon
+        cfg = DataConfig(
+            grid_n=N, variables=("z500", "t2m"), constants=("topo",)
+        )
+        common = dict(lat=lat, lon=lon, batch_size=3)
+        raw_ds = SeriesDataset(store, cfg, **common)
+        norm = normalize_store(store)
+        assert normalize_store(norm) is norm  # idempotent
+        path = write_store(tmp_path / "norm.h5", norm)
+        h5 = open_store(path)
+        cached_ds = SeriesDataset(h5, cfg, **common)
+        assert cached_ds.prenormalized and not cached_ds.scale
+        xa, ya = raw_ds.make_batch(raw_ds._starts[:3])
+        xb, yb = cached_ds.make_batch(cached_ds._starts[:3])
+        np.testing.assert_allclose(xa, xb, atol=1e-6)
+        np.testing.assert_allclose(ya, yb, atol=1e-6)
+        h5.close()
+
     def test_parallel_assembly_matches_serial(self):
         """workers>1 delivers bit-identical batches in the serial order
         (round-5 input-pipeline fix — PERF.md)."""
