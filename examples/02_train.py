@@ -47,6 +47,8 @@ def main() -> int:
     ap.add_argument("--val-frac", type=float, default=0.15)
     ap.add_argument("--min-epochs", type=int, default=2)
     ap.add_argument("--patience", type=int, default=5)
+    ap.add_argument("--workers", type=int, default=2,
+                    help="batch-assembly threads (0 = serial)")
     args = ap.parse_args()
     workdir = Path(args.workdir)
 
@@ -70,7 +72,9 @@ def main() -> int:
         store, fields=store.fields[split:], times=store.times[split:]
     )
     common = dict(lat=lat, lon=lon, batch_size=args.batch)
-    train_ds = SeriesDataset(train_store, dcfg, shuffle=True, **common)
+    train_ds = SeriesDataset(
+        train_store, dcfg, shuffle=True, workers=args.workers, **common
+    )
     val_ds = SeriesDataset(val_store, dcfg, **common)
 
     if args.model == "convlstm":
