@@ -327,8 +327,9 @@ def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
     the XLA ring-fix composition.
     """
     from dlwp_cs_tpu.ops.pallas_conv import (
+        _pack_factor,
         backward_mode,
-        blocked_row_count,
+        blocked_plan,
         cs_conv3x3_pallas,
         cs_conv3x3_pallas_blocked,
         pallas_supported,
@@ -337,29 +338,38 @@ def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
     if _pad_impl_installed():
         return None
     interpret = backend == "pallas_interpret"
+    b, _, n, _, cin = x.shape
     cout = k_eq.shape[-1]
     zb = jnp.zeros((cout,), x.dtype)
-    if not pallas_supported(x.shape, k_eq.shape[:2], stride, dilation,
-                            x.dtype, cout=cout):
-        h = blocked_row_count(x.shape, k_eq.shape[:2], stride, dilation,
-                              x.dtype, cout=cout)
-        if h is None:
-            return None
-        return cs_conv3x3_pallas_blocked(
+    full_ok = pallas_supported(x.shape, k_eq.shape[:2], stride, dilation,
+                               x.dtype, cout=cout)
+    if full_ok:
+        # NOTE a "prefer blocked when it unlocks a bigger pack factor"
+        # rule was measured a WASH at hires C96's 32-channel outer level
+        # (23.4 vs 23.2 ms/step — going p2 full-face -> p4 blocked doubles
+        # the fill AND the packing waste; PERF.md round 5), so the
+        # full-face kernel keeps priority whenever it fits.
+        return cs_conv3x3_pallas(
             x,
             k_eq,
             k_pole,
             zb if b_eq is None else b_eq,
             zb if b_pole is None else b_pole,
-            h,
             interpret,
+            backward_mode(),
         )
-    return cs_conv3x3_pallas(
+    plan = blocked_plan(x.shape, k_eq.shape[:2], stride, dilation,
+                        x.dtype, cout=cout)
+    if plan is None:
+        return None
+    p, h = plan
+    return cs_conv3x3_pallas_blocked(
         x,
         k_eq,
         k_pole,
         zb if b_eq is None else b_eq,
         zb if b_pole is None else b_pole,
+        h,
+        p,
         interpret,
-        backward_mode(),
     )

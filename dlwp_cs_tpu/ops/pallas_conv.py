@@ -324,45 +324,67 @@ def pallas_supported(x_shape, kernel_size, stride, dilation, dtype,
     )
 
 
-def blocked_row_count(x_shape, kernel_size, stride, dilation, dtype,
-                      cout: int | None = None) -> int | None:
-    """Row-block height for shapes past the full-face VMEM gate, or None.
+def _blocked_fits(n, h, cin, cout, dtype_bytes) -> bool:
+    stack = 6 * h * n * cout * 4
+    return (
+        vmem_estimate_bytes(n, cin, cout, dtype_bytes, h=h) + stack
+        < 15 * 2**20
+    )
+
+
+def blocked_plan(x_shape, kernel_size, stride, dilation, dtype,
+                 cout: int | None = None) -> tuple[int, int] | None:
+    """``(pack, row_block)`` for shapes past the full-face VMEM gate.
 
     The capacity sweep (PERF.md round 4) found wide-C96 configurations
     running at 5.3 % of peak with the fused kernel gated out (the f32
     tap-accumulation stack alone exceeds scoped VMEM at n=96, cout>=64).
     Both the xpad scratch AND the accumulation stack scale with the block
     height ``h``, so gridding each face into ``n/h`` row bands brings
-    beyond-VMEM shapes back under the gate (VERDICT r4 next #3).  Returns
-    the largest ``h`` in (n/2, n/4, n/8) that fits, requiring h >= 8 (a
-    thinner band spends its time on the two ghost-row boundaries).
+    beyond-VMEM shapes back under the gate (VERDICT r4 next #3) — and
+    blocking also re-opens batch->lane PACKING for small-channel levels
+    that fit full-face unpacked but not packed (hires C96's 32-channel
+    outer level: p=4 needs ~28 MB of stack full-face, ~11 MB at h=24).
+    Prefers the largest pack factor, then the largest ``h`` in
+    (n/2, n/4, n/8) with h >= 8 (a thinner band spends its time on the
+    two ghost-row boundaries).  Returns None when nothing fits.
     """
     if tuple(kernel_size) != (3, 3) or stride != 1 or dilation != 1:
         return None
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return None
+    b = x_shape[0]
     n = x_shape[-2]
     if x_shape[-3] != n or n < 16:
         return None
     dtype_bytes = jnp.dtype(dtype).itemsize
     cin = x_shape[-1]
     cout = cin if cout is None else int(cout)
-    for div in (2, 4, 8):
-        if n % div:
-            continue
-        h = n // div
-        if h < 8:
-            break
-        stack = 6 * h * n * cout * 4
-        if vmem_estimate_bytes(n, cin, cout, dtype_bytes, h=h) + stack \
-                < 15 * 2**20:
-            return h
+    p = packing.pack_factor(b, cin, cout)
+    while p >= 1:
+        for div in (2, 4, 8):
+            if n % div:
+                continue
+            h = n // div
+            if h < 8:
+                break
+            if _blocked_fits(n, h, p * cin, p * cout, dtype_bytes):
+                return p, h
+        p //= 2
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def blocked_row_count(x_shape, kernel_size, stride, dilation, dtype,
+                      cout: int | None = None) -> int | None:
+    """Row-block height past the full-face gate (packing-unaware view)."""
+    plan = blocked_plan(x_shape, kernel_size, stride, dilation, dtype,
+                        cout=cout)
+    return None if plan is None else plan[1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def cs_conv3x3_pallas_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block,
-                              interpret=False):
+                              pack=1, interpret=False):
     """Row-blocked fused CS conv for beyond-VMEM shapes (3x3/stride-1).
 
     Same contract as :func:`cs_conv3x3_pallas`, but each face is gridded
@@ -374,11 +396,12 @@ def cs_conv3x3_pallas_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block,
     outer bands consume cross-face topology.  The kernel body is the SAME
     ``_kernel`` as the band-sharded path (``h = row_block``).  Backward:
     the XLA ring-fix composition VJP, as for the full-face kernel.
-    No batch->lane packing: this path exists for channel counts that
-    already fill the lanes (pack factor 1).
+    ``pack``: batch->lane packing factor (block-diagonal taps) — blocking
+    re-opens packing for small-channel levels whose PACKED working set
+    exceeds the full-face budget (:func:`blocked_plan`).
     """
     return _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block,
-                            interpret)
+                            pack, interpret)
 
 
 def _blocked_ext(x, ext, nblk: int, h: int):
@@ -427,7 +450,8 @@ def _blocked_ext(x, ext, nblk: int, h: int):
     )  # (B, 6, nblk, 4, n+2, C)
 
 
-def _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, interpret):
+def _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, pack,
+                     interpret):
     b, nf, n, n2, cin = x.shape
     if nf != 6 or n != n2:
         raise ValueError(f"expected (B, 6, n, n, C), got {x.shape}")
@@ -440,6 +464,14 @@ def _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, interpret):
     k_pole = k_pole.astype(x.dtype)
     b_eq = b_eq.reshape(1, cout).astype(x.dtype)
     b_pole = b_pole.reshape(1, cout).astype(x.dtype)
+    p = int(pack)
+    if p > 1:
+        x = packing.pack_batch(x, p)
+        k_eq = packing.block_diag_taps(k_eq, p)
+        k_pole = packing.block_diag_taps(k_pole, p)
+        b_eq = jnp.tile(b_eq, (1, p))
+        b_pole = jnp.tile(b_pole, (1, p))
+        b, cin, cout = b // p, p * cin, p * cout
     ext = ext_strips(x)
     bext = _blocked_ext(x, ext, nblk, h).reshape(
         b, 6 * nblk, 4, n + 2, cin
@@ -477,16 +509,17 @@ def _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, interpret):
         ),
         interpret=interpret,
     )(xb, bext, k_eq, k_pole, b_eq, b_pole)
-    return out.reshape(b, 6, n, n, cout)
+    out = out.reshape(b, 6, n, n, cout)
+    return packing.unpack_batch(out, p) if p > 1 else out
 
 
-def _fwd_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, interpret):
-    out = _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block,
+def _fwd_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, pack, interpret):
+    out = _forward_blocked(x, k_eq, k_pole, b_eq, b_pole, row_block, pack,
                            interpret)
     return out, (x, k_eq, k_pole, b_eq, b_pole)
 
 
-def _bwd_blocked(row_block, interpret, res, g):
+def _bwd_blocked(row_block, pack, interpret, res, g):
     x, k_eq, k_pole, b_eq, b_pole = res
     _, pullback = jax.vjp(_xla_reference, x, k_eq, k_pole, b_eq, b_pole)
     return pullback(g)

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from dlwp_cs_tpu.ops import cs_conv
 from dlwp_cs_tpu.ops.pallas_conv import (
+    blocked_plan,
     blocked_row_count,
     cs_conv3x3_pallas_blocked,
 )
@@ -35,7 +36,24 @@ def test_blocked_matches_xla(nblk):
         cs_conv(x, k_eq, k_po, bias_eq=b_eq, bias_pole=b_po, backend="xla")
     )
     got = np.asarray(
-        cs_conv3x3_pallas_blocked(x, k_eq, k_po, b_eq, b_po, h, True)
+        cs_conv3x3_pallas_blocked(x, k_eq, k_po, b_eq, b_po, h, 1, True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("pack", [2, 4])
+def test_blocked_packed_matches_xla(pack):
+    """Batch->lane packing inside the blocked kernel (the hires-C96
+    outer-level plan: blocking re-opens packing past the full-face
+    budget)."""
+    h = N // 2
+    x = _rand((8, 6, N, N, 4), seed=16)
+    k_eq = _rand((3, 3, 4, 4), seed=17) * 0.2
+    k_po = _rand((3, 3, 4, 4), seed=18) * 0.2
+    zb = jnp.zeros((4,), jnp.float32)
+    ref = np.asarray(cs_conv(x, k_eq, k_po, backend="xla"))
+    got = np.asarray(
+        cs_conv3x3_pallas_blocked(x, k_eq, k_po, zb, zb, h, pack, True)
     )
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
@@ -55,7 +73,7 @@ def test_blocked_grads_match_xla():
 
     def blk_loss(x, ke, kp, be, bp):
         return jnp.mean(
-            cs_conv3x3_pallas_blocked(x, ke, kp, be, bp, h, True) ** 2
+            cs_conv3x3_pallas_blocked(x, ke, kp, be, bp, h, 1, True) ** 2
         )
 
     gref = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(
@@ -92,13 +110,14 @@ def test_auto_dispatch_falls_through_to_blocked(monkeypatch):
     calls = {}
     real = pc.cs_conv3x3_pallas_blocked
 
-    def spy(x, ke, kp, be, bp, h, interpret=False):
+    def spy(x, ke, kp, be, bp, h, pack=1, interpret=False):
         calls["h"] = h
-        return real(x, ke, kp, be, bp, h, True)  # interpret on CPU
+        calls["pack"] = pack
+        return real(x, ke, kp, be, bp, h, pack, True)  # interpret on CPU
 
     monkeypatch.setattr(pc, "pallas_supported", lambda *a, **k: False)
     monkeypatch.setattr(
-        pc, "blocked_row_count", lambda *a, **k: N // 2
+        pc, "blocked_plan", lambda *a, **k: (1, N // 2)
     )
     monkeypatch.setattr(pc, "cs_conv3x3_pallas_blocked", spy)
     monkeypatch.setattr(conv_mod, "_on_tpu", lambda: True)
