@@ -327,7 +327,6 @@ def _maybe_pallas(x, k_eq, k_pole, b_eq, b_pole, stride, dilation, backend):
     the XLA ring-fix composition.
     """
     from dlwp_cs_tpu.ops.pallas_conv import (
-        _pack_factor,
         backward_mode,
         blocked_plan,
         cs_conv3x3_pallas,

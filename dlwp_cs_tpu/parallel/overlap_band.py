@@ -399,18 +399,22 @@ def _bwd(axis_name, n_shards, interpret, res, g):
 band_conv3x3_overlap.defvjp(_fwd, _bwd)
 
 
-def overlap_supported(x_shape, n_shards: int, dtype) -> bool:
+def overlap_supported(
+    x_shape, n_shards: int, dtype, cout: int | None = None
+) -> bool:
     """Is the overlap kernel applicable to local blocks of this shape?
 
     The VMEM budget adds the two received-slab scratches and the two slab
-    inputs to the band kernel's estimate.
+    inputs to the band kernel's estimate (which itself includes the f32
+    tap-accumulation stack for the real ``cout``).
     """
     if n_shards < 2:
         return False
-    if not band_pallas_supported(x_shape, n_shards, dtype):
+    if not band_pallas_supported(x_shape, n_shards, dtype, cout=cout):
         return False
     b, nf, h, n, c = x_shape
-    p = _pack_factor(b, n, c, c, jnp.dtype(dtype).itemsize, h=h)
+    co = c if cout is None else int(cout)
+    p = _pack_factor(b, n, c, co, jnp.dtype(dtype).itemsize, h=h)
     slabs = 4 * (b // p) * 6 * n * (p * c) * jnp.dtype(dtype).itemsize
     return slabs < 4 * 2**20
 
@@ -425,7 +429,8 @@ def make_overlap_conv3x3(
     """
 
     def conv(x, k_eq, k_pole, bias_eq, bias_pole):
-        if not overlap_supported(x.shape, n_shards, x.dtype):
+        if not overlap_supported(x.shape, n_shards, x.dtype,
+                                 cout=k_eq.shape[-1]):
             from dlwp_cs_tpu.parallel.overlap import sharded_ringfix_conv3x3
 
             return sharded_ringfix_conv3x3(

@@ -67,15 +67,29 @@ __all__ = [
 ]
 
 
-def band_pallas_supported(x_shape, n_shards: int, dtype) -> bool:
-    """Is the fused band kernel applicable to local blocks of this shape?"""
+def band_pallas_supported(
+    x_shape, n_shards: int, dtype, cout: int | None = None
+) -> bool:
+    """Is the fused band kernel applicable to local blocks of this shape?
+
+    ``cout`` defaults to ``cin``; channel-expanding convs must pass the
+    real output width, and the gate includes Mosaic's per-step f32
+    tap-accumulation stack (~``6*h*n*cout*4`` bytes) — the term whose
+    omission made wide C96 convs a compile-time VMEM OOM on the full-face
+    kernel (ops/pallas_conv.py::pallas_supported, round 4).
+    """
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return False
     b, nf, h, n, c = x_shape
     if nf != 6 or h * n_shards != n or h < 1 or n < 4:
         return False
+    cout = c if cout is None else int(cout)
     dtype_bytes = jnp.dtype(dtype).itemsize
-    return vmem_estimate_bytes(n, c, c, dtype_bytes, h=h) < 10 * 2**20
+    stack = 6 * h * n * cout * 4
+    return (
+        vmem_estimate_bytes(n, c, cout, dtype_bytes, h=h) + stack
+        < 10 * 2**20
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -206,7 +220,8 @@ def make_sharded_pallas_conv3x3(
     """
 
     def conv(x, k_eq, k_pole, bias_eq, bias_pole):
-        if not band_pallas_supported(x.shape, n_shards, x.dtype):
+        if not band_pallas_supported(x.shape, n_shards, x.dtype,
+                                     cout=k_eq.shape[-1]):
             from dlwp_cs_tpu.parallel.overlap import sharded_ringfix_conv3x3
 
             return sharded_ringfix_conv3x3(

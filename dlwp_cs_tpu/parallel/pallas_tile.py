@@ -47,8 +47,17 @@ __all__ = [
 ]
 
 
-def tile_pallas_supported(x_shape, sy: int, sx: int, dtype) -> bool:
-    """Is the fused tile kernel applicable to local tiles of this shape?"""
+def tile_pallas_supported(
+    x_shape, sy: int, sx: int, dtype, cout: int | None = None
+) -> bool:
+    """Is the fused tile kernel applicable to local tiles of this shape?
+
+    ``cout`` defaults to ``cin``; channel-expanding convs must pass the
+    real output width, and the gate includes Mosaic's per-step f32
+    tap-accumulation stack (~``6*h*wl*cout*4`` bytes) — exactly the term
+    whose omission made n=96, cin=12, cout=64 a compile-time VMEM OOM on
+    the full-face kernel (ops/pallas_conv.py::pallas_supported).
+    """
     if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return False
     b, nf, h, wl, c = x_shape
@@ -56,8 +65,13 @@ def tile_pallas_supported(x_shape, sy: int, sx: int, dtype) -> bool:
         return False
     if h > wl:  # ext layout packs W/E strips into the (wl+2) row buffer
         return False
+    cout = c if cout is None else int(cout)
     dtype_bytes = jnp.dtype(dtype).itemsize
-    return vmem_estimate_bytes(wl, c, c, dtype_bytes, h=h) < 10 * 2**20
+    stack = 6 * h * wl * cout * 4
+    return (
+        vmem_estimate_bytes(wl, c, cout, dtype_bytes, h=h) + stack
+        < 10 * 2**20
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -199,7 +213,8 @@ def make_tile_pallas_conv3x3(
     """
 
     def conv(x, k_eq, k_pole, bias_eq, bias_pole):
-        if not tile_pallas_supported(x.shape, sy, sx, x.dtype):
+        if not tile_pallas_supported(x.shape, sy, sx, x.dtype,
+                                     cout=k_eq.shape[-1]):
             return _reference(
                 x, k_eq, k_pole, bias_eq, bias_pole, axis_y, axis_x, sy, sx
             )

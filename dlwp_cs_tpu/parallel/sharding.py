@@ -274,6 +274,14 @@ def sharded_model_ctx(
                     yield
 
             return ctx2d
+        if band_conv != "ringfix":
+            # same strictness as the 1-D branch: a typo or a band-only
+            # mode ('overlap') must not silently measure pad-then-VALID
+            raise ValueError(
+                f"band_conv {band_conv!r} is not available on the 2-D "
+                "row x column tiling; want 'ringfix' (pad-then-VALID) | "
+                "'pallas' | 'pallas_interpret' (fused tile kernel)"
+            )
         return lambda: use_pad_impl(pad2d)
     from dlwp_cs_tpu.parallel.halo import use_band_exchange
 

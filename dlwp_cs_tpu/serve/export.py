@@ -109,15 +109,20 @@ def export_forecaster(
     n = dcfg.grid_n
     t_in = dcfg.input_time_steps
     c_var = dcfg.n_variables
+    if not steps_values:
+        raise ValueError("steps must name at least one rollout length")
     target = Path(path)
     target.mkdir(parents=True, exist_ok=True)
-    # remove stale executables from a previous export: leftovers with an
-    # older steps/config would linger unused but confusing (ADVICE r4)
-    for old in target.glob("rollout_*.bin"):
-        old.unlink()
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
     batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes:
+        raise ValueError("batch_sizes must name at least one bucket")
     exported_platforms = None
+    # Stage every executable under a tmp name first; the pre-existing
+    # artifact (old rollout_*.bin + meta.json) is only replaced after ALL
+    # exports succeed, so a mid-export failure over a live artifact dir
+    # cannot leave meta.json referencing deleted executables.
+    staged: dict[str, Path] = {}
     for s in steps_values:
         rollout = make_rollout_fn(
             estimator.model.apply,
@@ -141,11 +146,25 @@ def export_forecaster(
                 (b, t_in, 6, n, n, c_var), jnp.float32
             )
             spec_t = jax.ShapeDtypeStruct((b,), jnp.float32)
-            exp = jax_export.export(jax.jit(fields_fn), **kwargs)(
-                spec_w, spec_t
-            )
-            exported_platforms = list(exp.platforms)
-            (target / f"rollout_s{s}_b{b}.bin").write_bytes(exp.serialize())
+            try:
+                exp = jax_export.export(jax.jit(fields_fn), **kwargs)(
+                    spec_w, spec_t
+                )
+                exported_platforms = list(exp.platforms)
+                tmp = target / f".rollout_s{s}_b{b}.bin.tmp"
+                tmp.write_bytes(exp.serialize())
+            except BaseException:
+                for t in staged.values():
+                    t.unlink(missing_ok=True)
+                raise
+            staged[f"rollout_s{s}_b{b}.bin"] = tmp
+    # every export succeeded — now retire stale executables from a previous
+    # export (ADVICE r4: leftovers with an older steps/config would linger
+    # unused but confusing) and publish the new set
+    for old in target.glob("rollout_*.bin"):
+        old.unlink()
+    for name, tmp in staged.items():
+        tmp.replace(target / name)
     meta = {
         "format": _FORMAT,
         # primary value kept as an int for older consumers; the full set

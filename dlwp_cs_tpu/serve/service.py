@@ -342,13 +342,19 @@ class MicroBatcher:
     def close(self):
         """Stop the batching worker (pending requests are flushed first)."""
         with self._lock:
+            already = self._closed
             self._closed = True
             worker = self._worker
-            if worker is not None:
-                self._queue.put(None)  # after any in-flight submit's item
-        if worker is not None:
-            worker.join(timeout=30)
             self._worker = None
+        if worker is not None and not already:
+            # The sentinel put can block on a full (bounded) queue, so the
+            # lock must NOT be held here: the worker needs it for stats
+            # updates in _flush, and holding it while put(None) waited for
+            # a slot was a reproduced deadlock.  Ordering is still safe —
+            # _closed was set under the lock, so _enqueue (which checks it
+            # under the same lock) can add nothing after the sentinel.
+            self._queue.put(None)
+            worker.join(timeout=30)
 
 
 class ForecastService(MicroBatcher):

@@ -240,6 +240,55 @@ class TestExportArtifact:
         assert np.isfinite(fc.fields).all()
 
 
+    def test_failed_reexport_preserves_old_artifact(self, artifact,
+                                                    tmp_path, monkeypatch):
+        """A mid-export failure over a live artifact dir must leave the
+        previous artifact loadable (round 5: executables are staged under
+        tmp names; stale deletion + meta rewrite happen only after every
+        export succeeds)."""
+        import shutil
+
+        from dlwp_cs_tpu.serve import export as export_mod
+
+        est, store, path = artifact
+        target = tmp_path / "live"
+        shutil.copytree(path, target)
+        before = sorted(p.name for p in target.glob("rollout_*.bin"))
+
+        real_export = export_mod.jax_export.export
+        calls = {"n": 0}
+
+        def failing_export(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated mid-export failure")
+            return real_export(*a, **kw)
+
+        monkeypatch.setattr(export_mod.jax_export, "export", failing_export)
+        with pytest.raises(RuntimeError, match="simulated"):
+            export_forecaster(
+                est, target, steps=STEPS, batch_sizes=(1, 2),
+                constants_store=store,
+            )
+        # old executables + meta intact, no tmp litter, still serves
+        assert sorted(p.name for p in target.glob("rollout_*.bin")) == before
+        assert not list(target.glob(".rollout_*.tmp"))
+        exp = ExportedForecaster.load(target)
+        fc = exp.forecast(
+            np.asarray(store.fields[4:6]), float(store.times[5])
+        )
+        assert np.isfinite(fc.fields).all()
+
+    def test_empty_steps_rejected(self, artifact, tmp_path):
+        est, store, _ = artifact
+        with pytest.raises(ValueError, match="at least one"):
+            export_forecaster(est, tmp_path / "x", steps=[],
+                              constants_store=store)
+        with pytest.raises(ValueError, match="at least one"):
+            export_forecaster(est, tmp_path / "x", steps=STEPS,
+                              batch_sizes=(), constants_store=store)
+
+
 class TestMultiStepsArtifact:
     @pytest.fixture(scope="class")
     def multi(self, artifact, tmp_path_factory):

@@ -138,6 +138,16 @@ def test_model_forward_tile_pallas(eight_devices):
     np.testing.assert_allclose(np.asarray(fn(params, x)), ref, atol=3e-5)
 
 
+def test_2d_ctx_rejects_band_only_modes(eight_devices):
+    """The 2-D tiling must raise on band-only/typo'd band_conv values, not
+    silently fall back to pad-then-VALID (round-5 review finding)."""
+    mesh = create_mesh(data=2, spatial=2, spatial_x=2)
+    model = CubeSphereUNet(UNetConfig(output_channels=2, filters=(4, 8)))
+    for bad in ("overlap", "overlap_interpret", "palas"):
+        with pytest.raises(ValueError, match="not available on the 2-D"):
+            make_spatial_apply(model.apply, mesh, band_conv=bad)
+
+
 def test_supported_gate():
     f32 = jnp.float32
     assert tile_pallas_supported((2, 6, N // 2, N // 2, 3), 2, 2, f32)
@@ -149,3 +159,9 @@ def test_supported_gate():
     assert not tile_pallas_supported(
         (2, 6, N // 2, N // 2, 3), 2, 2, jnp.float64
     )
+    # channel-expanding conv past the VMEM budget: the gate must use the
+    # REAL cout (and its f32 accumulation stack), not assume cout == cin —
+    # regression for the round-4 full-face-gate bug, round-5 tile variant
+    big = (1, 6, 48, 96, 32)
+    assert tile_pallas_supported(big, 4, 2, jnp.bfloat16)
+    assert not tile_pallas_supported(big, 4, 2, jnp.bfloat16, cout=512)

@@ -294,6 +294,34 @@ class TestBackpressure:
             assert f.result(timeout=60) is not None
         svc.close()
 
+    def test_close_with_full_queue_does_not_deadlock(self):
+        # Regression (round 5): close() used to hold the stats lock while
+        # doing a BLOCKING put(None) on the bounded queue; with the queue
+        # full and the worker mid-dispatch (needing the same lock for its
+        # stats update) the two deadlocked permanently.
+        svc = _BlockingService(max_queue=2)
+        w = np.zeros((1, 4), np.float32)
+        futs = [svc.submit(w, 0.0, steps=1)]  # dequeued by the worker
+        import time as _t
+
+        _t.sleep(0.2)  # worker blocked in dispatch; queue empty again
+        futs += [svc.submit(w, 0.0, steps=1) for _ in range(2)]  # fills queue
+
+        done = threading.Event()
+
+        def _close():
+            svc.close()
+            done.set()
+
+        closer = threading.Thread(target=_close, daemon=True)
+        closer.start()
+        _t.sleep(0.3)
+        svc.release.set()  # unblock the dispatch; close() must complete
+        assert done.wait(timeout=30), "close() deadlocked against the worker"
+        for f in futs:
+            assert f.result(timeout=60) is not None
+        svc.close()  # second close is a no-op
+
     def test_request_timeout_expires_queued(self):
         from dlwp_cs_tpu.serve import RequestTimeout
 
