@@ -62,8 +62,21 @@ class SphericalHarmonics:
         self._plm = self._build_legendre()  # (M+1, L+1, nlat) float64
         l = np.arange(self.lmax + 1)
         self.laplacian_eig = -l * (l + 1) / self.radius**2  # per l
-        self._plm_j = jnp.asarray(self._plm, jnp.float32)
-        self._w_j = jnp.asarray(self.weights, jnp.float32)
+        # device tables are materialized lazily PER REAL DTYPE from the
+        # float64 originals: freezing them to f32 at init capped x64
+        # round-trips at ~1e-7 (truncated-then-upcast) even though the
+        # full-precision table was sitting in memory
+        self._tables: dict = {}
+
+    def _tables_for(self, real_dtype):
+        """(plm, w) device tables cast from float64 to ``real_dtype``."""
+        dt = jnp.dtype(real_dtype)
+        if dt not in self._tables:
+            self._tables[dt] = (
+                jnp.asarray(self._plm, dt),
+                jnp.asarray(self.weights, dt),
+            )
+        return self._tables[dt]
 
     # -- tables ------------------------------------------------------------
     def _build_legendre(self) -> np.ndarray:
@@ -93,17 +106,15 @@ class SphericalHarmonics:
         fm = jnp.fft.rfft(f, axis=-1)[..., : self.lmax + 1]  # (..., nlat, M+1)
         fm = jnp.swapaxes(fm, -1, -2)  # (..., M+1, nlat)
         # quadrature: sum_j f_m(x_j) P_l^m(x_j) w_j
-        integrand = fm * self._w_j
-        spec = jnp.einsum(
-            "...mj,mlj->...ml", integrand, self._plm_j.astype(integrand.dtype)
-        )
+        plm, w = self._tables_for(jnp.zeros((), fm.dtype).real.dtype)
+        integrand = fm * w
+        spec = jnp.einsum("...mj,mlj->...ml", integrand, plm)
         return spec * (2.0 * jnp.pi / self.nlon)
 
     def spec_to_grid(self, spec):
         """Complex ``(..., M+1, L+1)`` -> real ``(..., nlat, nlon)``."""
-        fm = jnp.einsum(
-            "...ml,mlj->...mj", spec, self._plm_j.astype(spec.dtype)
-        )  # (..., M+1, nlat)
+        plm, _ = self._tables_for(jnp.zeros((), spec.dtype).real.dtype)
+        fm = jnp.einsum("...ml,mlj->...mj", spec, plm)  # (..., M+1, nlat)
         fm = jnp.swapaxes(fm, -1, -2)  # (..., nlat, M+1)
         full = jnp.zeros(
             fm.shape[:-1] + (self.nlon // 2 + 1,), dtype=fm.dtype

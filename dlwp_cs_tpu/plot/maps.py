@@ -42,8 +42,10 @@ def plot_cube_faces(field, *, title: str | None = None, cmap: str = "RdBu_r",
     f = np.asarray(field)
     if f.ndim != 3 or f.shape[0] != 6:
         raise ValueError(f"expected (6, n, n), got {f.shape}")
-    vmin = f.min() if vmin is None else vmin
-    vmax = f.max() if vmax is None else vmax
+    # nan-robust like plot_latlon_map: one NaN cell (a diverged rollout)
+    # must not blank every panel via vmin=vmax=NaN
+    vmin = np.nanmin(f) if vmin is None else vmin
+    vmax = np.nanmax(f) if vmax is None else vmax
     fig, axes = plt.subplots(3, 4, figsize=(10, 7.5))
     for ax in axes.ravel():
         ax.set_axis_off()
@@ -95,9 +97,14 @@ def plot_latlon_map(field, lats, lons, *, projection: str = "equirectangular",
     vmax = np.nanmax(f) if vmax is None else vmax
     if projection == "equirectangular":
         fig, ax = plt.subplots(figsize=(9, 4.5))
+        # sort BOTH axes into ascending order: imshow's extent claims
+        # ascending coordinates, so wrapped-to-[-180,180) lons still in
+        # 0..360 storage order would render hemispheres swapped
         order = np.argsort(lats)
+        order_lo = np.argsort(lons)
         im = ax.imshow(
-            f[order], origin="lower", cmap=cmap, vmin=vmin, vmax=vmax,
+            f[order][:, order_lo], origin="lower", cmap=cmap,
+            vmin=vmin, vmax=vmax,
             extent=[lons.min(), lons.max(), lats.min(), lats.max()],
             aspect="auto",
         )

@@ -31,6 +31,11 @@ def apply_remap(weights: RemapWeights, x):
         raise ValueError(f"source dim {x.shape[-1]} != {weights.shape[1]}")
     cols = jnp.asarray(weights.cols)
     rows = jnp.asarray(weights.rows)
+    # never cast the weights to an integer input dtype — bilinear weights in
+    # (0,1) would truncate to 0 and an int field (e.g. a land-sea mask)
+    # would silently remap to all zeros; promote the field instead
+    if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+        x = jnp.asarray(x, jnp.float32)
     vals = jnp.asarray(weights.vals, dtype=x.dtype)
     gathered = x[..., cols] * vals
     out = segment_sum(

@@ -151,8 +151,10 @@ def conservative_weights(
         generate()
     try:
         return load_csremap(path, dtype=dtype)
-    except ValueError:
-        # pre-fix truncated cache entry: regenerate once
+    except (ValueError, struct.error, EOFError):
+        # corrupt/truncated cache entry (a crash can cut the file anywhere,
+        # incl. inside the fixed-size header, which raises struct.error
+        # rather than ValueError): regenerate once
         path.unlink(missing_ok=True)
         generate()
         return load_csremap(path, dtype=dtype)

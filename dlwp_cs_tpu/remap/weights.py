@@ -44,7 +44,10 @@ class RemapWeights:
         """Apply along the last axis: ``(..., n_source) -> (..., n_target)``."""
         if x.shape[-1] != self.shape[1]:
             raise ValueError(f"source dim {x.shape[-1]} != {self.shape[1]}")
-        out = np.zeros(x.shape[:-1] + (self.shape[0],), dtype=x.dtype)
+        # accumulate in the PRODUCT dtype: an integer out array would
+        # truncate every weighted term (int fields would remap to zeros)
+        out = np.zeros(x.shape[:-1] + (self.shape[0],),
+                       dtype=np.result_type(x.dtype, self.vals.dtype))
         np.add.at(
             out.reshape(-1, self.shape[0]),
             (slice(None), self.rows),

@@ -11,6 +11,7 @@ from dlwp_cs_tpu.utils.profiling import Timer, conv_roofline, trace
 from dlwp_cs_tpu.utils.checkpoint import (
     latest_step,
     load_json,
+    restore_aux,
     restore_checkpoint,
     save_checkpoint,
     save_json,
@@ -28,6 +29,7 @@ __all__ = [
     "trace",
     "latest_step",
     "load_json",
+    "restore_aux",
     "restore_checkpoint",
     "save_checkpoint",
     "save_json",

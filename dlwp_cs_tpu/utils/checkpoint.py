@@ -12,6 +12,7 @@ with orbax (async-capable, reshardable on restore across host counts).
 from __future__ import annotations
 
 import json
+import warnings
 from pathlib import Path
 from typing import Any
 
@@ -109,9 +110,20 @@ def restore_checkpoint(path, target_state, *, step: int | None = None):
         last_err = None
         for s in candidates:
             try:
-                return _restore_step(root / f"step_{s}", target_state)
+                out = _restore_step(root / f"step_{s}", target_state)
             except Exception as e:  # corrupt/partial — try the previous one
+                # surface the skip loudly: silently resuming from an OLDER
+                # step (and overwriting newer progress) must be visible
+                warnings.warn(
+                    f"checkpoint step_{s} under {root} failed to restore "
+                    f"({type(e).__name__}: {e}); falling back to the "
+                    "previous step",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 last_err = e
+            else:
+                return out
         raise RuntimeError(
             f"all checkpoints under {root} failed to restore"
         ) from last_err

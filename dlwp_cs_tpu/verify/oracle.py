@@ -35,6 +35,7 @@ import numpy as np
 from dlwp_cs_tpu.geometry.cubed_sphere import CubedSphere
 from dlwp_cs_tpu.verify.relabel import (
     FaceRelabeling,
+    _apply_d4,
     apply_relabeling,
     infer_relabeling,
     invert_relabeling,
@@ -78,10 +79,10 @@ def _group_kernel(kernel, to_ours, mapping, our_faces) -> np.ndarray:
             "group weights — reference grouping differs structurally"
         )
     (k, flip), = ds
-    out = np.rot90(kernel, k=k % 4, axes=(0, 1))
-    if flip:
-        out = np.swapaxes(out, 0, 1)
-    return np.ascontiguousarray(out)
+    # kernel is (kh, kw, Ci, Co) with rows/cols leading — the same layout
+    # contract as a face block, so relabel's D4 application is the single
+    # source of truth (keeping the two modules in exact lockstep)
+    return np.ascontiguousarray(_apply_d4(kernel, k, flip))
 
 
 def compare_to_golden(path) -> OracleReport:
@@ -148,6 +149,16 @@ def compare_to_golden(path) -> OracleReport:
     if "conv_in" in golden:
         x = apply_relabeling(golden["conv_in"], to_ours)
         want = apply_relabeling(golden["conv_out"], to_ours)
+        # our eq group must land on the reference's eq group: a pole-axis-
+        # changing relabeling (e.g. a 90° rotation about x) maps some of our
+        # equatorial faces onto their pole faces — kernels can't be shared
+        # even when the per-group orientation offsets happen to be uniform
+        if sorted(mapping.perm[:4]) != [0, 1, 2, 3]:
+            raise ValueError(
+                f"relabeling maps our equatorial faces onto reference faces "
+                f"{tuple(mapping.perm[:4])}: the conventions use different "
+                "pole axes, so eq/polar weight groups cannot be shared"
+            )
         k_eq = _group_kernel(golden["conv_kernel_eq"], to_ours, mapping, range(4))
         k_po = _group_kernel(golden["conv_kernel_pole"], to_ours, mapping, range(4, 6))
         got = np.asarray(
@@ -160,8 +171,14 @@ def compare_to_golden(path) -> OracleReport:
                 backend="xla",
             )
         )
-        # Face-edge outputs depend on corner-ghost policy: compare interiors.
-        report.conv_err = float(
-            np.max(np.abs((got - want)[..., 1:-1, 1:-1, :]))
+        # Face-edge outputs depend on corner-ghost policy: compare
+        # interiors, masking a margin of the kernel's half-width (a 5x5
+        # kernel reads corner ghosts from 2 cells in, not 1).
+        kh, kw = golden["conv_kernel_eq"].shape[:2]
+        mh, mw = kh // 2, kw // 2
+        interior = (
+            got[..., mh : got.shape[-3] - mh, mw : got.shape[-2] - mw, :]
+            - want[..., mh : want.shape[-3] - mh, mw : want.shape[-2] - mw, :]
         )
+        report.conv_err = float(np.max(np.abs(interior)))
     return report

@@ -31,6 +31,30 @@ class TestSphericalHarmonics:
             np.asarray(back)[mask], spec[mask], atol=2e-5
         )
 
+    def test_x64_roundtrip_precision(self):
+        """Round 5: device tables are materialized per dtype from the f64
+        originals — a float64 round-trip under x64 must reach ~1e-12, not
+        the ~1e-7 floor of init-time-frozen f32 tables."""
+        import jax
+
+        with jax.enable_x64(True):
+            sht = SphericalHarmonics(15)
+            rng = np.random.default_rng(1)
+            spec = np.zeros((16, 16), np.complex128)
+            for m in range(4):
+                for l in range(m, 7):
+                    spec[m, l] = rng.normal() + 1j * rng.normal() * (m > 0)
+            spec[0] = spec[0].real
+            f = sht.spec_to_grid(jnp.asarray(spec))
+            assert f.dtype == jnp.float64
+            back = sht.grid_to_spec(f)
+            mask = np.zeros_like(spec, bool)
+            for m in range(16):
+                mask[m, m:] = True
+            np.testing.assert_allclose(
+                np.asarray(back)[mask], spec[mask], atol=1e-12
+            )
+
     def test_constant_field(self, sht):
         f = jnp.full((sht.nlat, sht.nlon), 3.0)
         spec = sht.grid_to_spec(f)

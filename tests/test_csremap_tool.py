@@ -95,6 +95,20 @@ class TestConservativeWeights:
         )
         np.testing.assert_array_equal(w1.vals, w2.vals)
 
+    def test_header_truncated_cache_regenerates(self, tmp_path):
+        """Round 5: a crash can cut the cache file INSIDE the fixed-size
+        header, which raises struct.error (not ValueError) — the corrupt-
+        cache recovery must still regenerate rather than stay poisoned."""
+        w1 = conservative_weights(
+            "ll2cs", n_lat=12, n_lon=24, n_cs=8, samples=4, cache_dir=tmp_path
+        )
+        (cache,) = list(tmp_path.glob("csremap_*.bin"))
+        cache.write_bytes(cache.read_bytes()[:10])  # mid-header cut
+        w2 = conservative_weights(
+            "ll2cs", n_lat=12, n_lon=24, n_cs=8, samples=4, cache_dir=tmp_path
+        )
+        np.testing.assert_array_equal(w1.vals, w2.vals)
+
 
 class TestExactClipping:
     """The exact spherical-overlap method (TempestRemap-equivalent,

@@ -92,11 +92,12 @@ class TestRelabeling:
         assert back == SCRAMBLE
 
 
-def _fake_golden(tmp_path, *, d4_symmetric_kernels: bool) -> Path:
+def _fake_golden(tmp_path, *, d4_symmetric_kernels: bool,
+                 scramble: FaceRelabeling = SCRAMBLE) -> Path:
     """Fabricate a golden npz in the SCRAMBLE convention from our own ops."""
     rng = np.random.default_rng(3)
     n, c, co = N, 3, 4
-    lonlat_ref = apply_relabeling(our_lonlat(n), SCRAMBLE)
+    lonlat_ref = apply_relabeling(our_lonlat(n), scramble)
 
     x = rng.normal(size=(2, 6, n, n, c)).astype(np.float32)
     pad_out = np.asarray(cs_pad(jnp.asarray(x), 1))
@@ -121,10 +122,10 @@ def _fake_golden(tmp_path, *, d4_symmetric_kernels: bool) -> Path:
     else:
         # generic kernels: express them in the reference convention by the
         # inverse group rotation (the oracle rotates them back).
-        inv = invert_relabeling(SCRAMBLE)
+        inv = invert_relabeling(scramble)
 
         def unrotate(k, our_faces):
-            d = {inv.orient[SCRAMBLE.perm[f]] for f in our_faces}
+            d = {inv.orient[scramble.perm[f]] for f in our_faces}
             (kk, flip), = d
             out = k
             if flip:
@@ -152,15 +153,15 @@ def _fake_golden(tmp_path, *, d4_symmetric_kernels: bool) -> Path:
     np.savez(
         path,
         lonlat=lonlat_ref,
-        pad_in=apply_relabeling(x, SCRAMBLE),
-        pad_out=apply_relabeling(pad_out, SCRAMBLE),
+        pad_in=apply_relabeling(x, scramble),
+        pad_out=apply_relabeling(pad_out, scramble),
         pad_width=np.int64(1),
-        conv_in=apply_relabeling(x, SCRAMBLE),
+        conv_in=apply_relabeling(x, scramble),
         conv_kernel_eq=k_eq_ref,
         conv_kernel_pole=k_po_ref,
         conv_bias_eq=b_eq,
         conv_bias_pole=b_po,
-        conv_out=apply_relabeling(conv_out, SCRAMBLE),
+        conv_out=apply_relabeling(conv_out, scramble),
     )
     return path
 
@@ -177,6 +178,20 @@ class TestOracle:
     def test_generic_kernel_group_rotation(self, tmp_path):
         report = compare_to_golden(_fake_golden(tmp_path, d4_symmetric_kernels=False))
         assert report.conv_err < 1e-5
+
+    def test_pole_axis_change_rejected(self, tmp_path):
+        """Round 5: a relabeling that maps our equatorial faces onto the
+        reference's pole faces must raise the structural error — even with
+        uniform orientation offsets, eq/polar weight groups cannot be
+        shared across different pole axes."""
+        poleswap = FaceRelabeling(
+            perm=(4, 1, 2, 3, 0, 5), orient=((0, False),) * 6
+        )
+        path = _fake_golden(
+            tmp_path, d4_symmetric_kernels=True, scramble=poleswap
+        )
+        with pytest.raises(ValueError, match="different pole axes"):
+            compare_to_golden(path)
 
     def test_detects_wrong_numerics(self, tmp_path):
         path = _fake_golden(tmp_path, d4_symmetric_kernels=True)

@@ -40,6 +40,45 @@ def test_plot_history(tmp_path):
     plt.close(fig)
 
 
+def test_plot_cube_faces_nan_robust(tmp_path):
+    """Round 5: one NaN cell must not blank every panel (vmin/vmax must be
+    nan-robust like plot_latlon_map's)."""
+    f = np.random.default_rng(0).normal(size=(6, 8, 8))
+    f[2, 3, 3] = np.nan
+    fig = plot_cube_faces(f, out_path=tmp_path / "nan.png")
+    im = next(ax.images[0] for ax in fig.axes if ax.images)
+    lo, hi = im.get_clim()
+    assert np.isfinite(lo) and np.isfinite(hi) and hi > lo
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_plot_latlon_map_wrapped_lons(tmp_path):
+    """Round 5: equirectangular must reorder columns when lons are wrapped
+    to [-180, 180) but still in 0..360 storage order — the image data must
+    follow ascending longitude like the axis extent claims."""
+    from dlwp_cs_tpu.plot import plot_latlon_map
+
+    lats = np.linspace(-80.0, 80.0, 9)
+    lons_sorted = np.arange(-180.0, 180.0, 30.0)
+    f_sorted = (np.sin(np.radians(lats))[:, None]
+                * np.cos(np.radians(lons_sorted))[None, :])
+    # same field, stored in 0..360 order with wrapped coordinate labels
+    storage = np.argsort((lons_sorted + 360.0) % 360.0)
+    lons_wrapped = lons_sorted[storage]
+    f_wrapped = f_sorted[:, storage]
+    fig1 = plot_latlon_map(f_sorted, lats, lons_sorted)
+    fig2 = plot_latlon_map(f_wrapped, lats, lons_wrapped)
+    a1 = np.asarray(fig1.axes[0].images[0].get_array())
+    a2 = np.asarray(fig2.axes[0].images[0].get_array())
+    np.testing.assert_allclose(a2, a1)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig1)
+    plt.close(fig2)
+
+
 def test_bad_shape_rejected():
     import pytest
 

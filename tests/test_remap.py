@@ -98,6 +98,19 @@ class TestApply:
         out = np.asarray(apply_remap(w, jnp.asarray(x)))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
+    def test_integer_field_not_truncated(self):
+        """Round 5: weights must never be cast to an int input dtype —
+        bilinear weights in (0,1) truncate to 0 and an int field (e.g. a
+        land-sea mask) silently remaps to all zeros."""
+        cs = CubedSphere(12)
+        lats, lons = latlon_grid(18, 36)
+        w = ll_to_cs_weights(lats, lons, cs)
+        ones = np.ones((1, 18 * 36), np.int32)
+        out = np.asarray(apply_remap(w, jnp.asarray(ones)))
+        np.testing.assert_allclose(out, 1.0, atol=1e-5)
+        ref = w.apply_numpy(ones)
+        np.testing.assert_allclose(ref, 1.0, atol=1e-5)
+
     def test_shaped_wrappers(self):
         cs = CubedSphere(8)
         lats, lons = latlon_grid(12, 24)
