@@ -19,7 +19,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["fold_time", "unfold_time", "pack_inputs"]
+__all__ = [
+    "advance_window",
+    "fold_time",
+    "make_input_insolation",
+    "pack_inputs",
+    "unfold_time",
+]
 
 
 def fold_time(x, xp=jnp):
@@ -66,3 +72,51 @@ def pack_inputs(window, insol=None, constants=None):
         )
         parts.append(const)
     return jnp.concatenate(parts, axis=-1)
+
+
+def make_input_insolation(data_cfg, lat, lon, insol_mean=0.0, insol_std=1.0):
+    """Closure: normalized insolation channels for the input window ENDING
+    at ``t_days`` (offsets ``-(T_in-1)..0`` steps), or ``None`` when
+    ``data_cfg.add_insolation`` is off.
+
+    ``t_days`` may be a scalar (shared init time) or a ``(B,)`` vector of
+    per-batch-member times; the channels are ``(T_in, 6, n, n)`` or
+    ``(B, T_in, 6, n, n)`` respectively (both accepted by
+    :func:`pack_inputs`).  ONE definition shared by the autoregressive
+    training loss (:mod:`dlwp_cs_tpu.train.sequence`) and the inference
+    rollout (:mod:`dlwp_cs_tpu.rollout.estimator`) so the two forcing
+    clocks can never drift apart — the train/inference consistency both
+    modules promise.
+    """
+    from dlwp_cs_tpu.geometry.insolation import insolation
+
+    t_in = data_cfg.input_time_steps
+    dt_days = data_cfg.step_hours / 24.0
+    lat = jnp.asarray(lat)
+    lon = jnp.asarray(lon)
+
+    def input_insolation(t_days):
+        if not data_cfg.add_insolation:
+            return None
+        offsets = (jnp.arange(t_in) - (t_in - 1)) * dt_days
+        if t_days.ndim == 0:
+            times = t_days + offsets  # (T_in,)
+        else:
+            times = t_days[:, None] + offsets[None, :]  # (B, T_in)
+        ins = insolation(times[..., None, None, None], lat, lon)
+        return (ins - insol_mean) / insol_std
+
+    return input_insolation
+
+
+def advance_window(window, out, t_out: int):
+    """Autoregressive output->input rewiring shared by train and inference.
+
+    Unfolds the model output ``(B, 6, n, n, T_out*C)`` into ``T_out`` new
+    time steps, appends them to the input ``window`` and keeps the last
+    ``T_in`` steps.  Returns ``(new_window, out_window)``.
+    """
+    t_in = window.shape[1]
+    out_window = unfold_time(out, t_out)  # (B, T_out, 6, n, n, C)
+    new_window = jnp.concatenate([window, out_window], axis=1)[:, -t_in:]
+    return new_window, out_window

@@ -137,10 +137,15 @@ def read_netcdf_var(path, name: str) -> np.ndarray:
         raw = np.asarray(ds)  # one disk read; reused for the fill-value mask
         scale = ds.attrs.get("scale_factor", None)
         offset = ds.attrs.get("add_offset", None)
-        fill = ds.attrs.get("_FillValue", None)
         data = raw.astype(np.float64)
-        if fill is not None:
-            data[raw == fill] = np.nan
+        # mask BOTH CF gap markers: files converted via wgrib2/CDO (and
+        # older CDS products) often carry `missing_value` with no
+        # `_FillValue`, and an unmasked packed fill integer would pass
+        # through scale/offset as a plausible-looking extreme value
+        for attr in ("_FillValue", "missing_value"):
+            fill = ds.attrs.get(attr, None)
+            if fill is not None:
+                data[raw == np.asarray(fill)] = np.nan
         if scale is not None:
             data = data * float(np.asarray(scale))
         if offset is not None:

@@ -121,6 +121,12 @@ def _decode_message(msg: bytes, param) -> list[Grib2Record]:
         if msg[pos : pos + 4] == b"7777":
             break
         seclen = _u(msg, pos, 4)
+        if seclen < 5 or pos + seclen > len(msg):
+            # a zeroed/garbage section length would otherwise stop the scan
+            # from advancing (pos += 0 spins forever) or run off the message
+            raise ValueError(
+                f"corrupt GRIB2 section at offset {pos}: length {seclen}"
+            )
         secnum = msg[pos + 4]
         body = msg[pos : pos + seclen]
         if secnum == 1:

@@ -47,7 +47,18 @@ class PrefetchIterator:
         except BaseException as e:  # propagate into consumer
             self._err = e
         finally:
-            self._queue.put(self._SENTINEL)
+            # The sentinel must reach a live consumer (blocking put), but a
+            # CLOSING consumer may have refilled the queue race-wise after
+            # draining (depth=1: our just-unblocked put fills the only
+            # slot) — a plain blocking put would then hang this thread
+            # forever. Poll with a timeout and give up once closed.
+            while True:
+                try:
+                    self._queue.put(self._SENTINEL, timeout=0.1)
+                    return
+                except queue.Full:
+                    if self._closed:
+                        return
 
     def __iter__(self):
         return self
@@ -73,11 +84,19 @@ class PrefetchIterator:
         batches for the iterator's lifetime.
         """
         self._closed = True
-        while True:  # drain so a blocked put() can finish and observe _closed
+        # drain until the worker has actually exited: a single drain pass
+        # can race with the worker's just-unblocked put refilling the
+        # queue (reproducible at depth=1), leaving it blocked forever
+        while self._thread.is_alive():
             try:
                 self._queue.get_nowait()
             except queue.Empty:
-                break
+                self._thread.join(timeout=0.05)
+        # keep the exhausted-iterator contract for any later __next__
+        try:
+            self._queue.put_nowait(self._SENTINEL)
+        except queue.Full:
+            pass
 
     def __del__(self):  # noqa: D105 - best-effort release
         try:

@@ -117,6 +117,15 @@ class SeriesDataset:
         self.sequence = None if sequence is None else int(sequence)
         if self.sequence is not None and self.sequence < 1:
             raise ValueError(f"sequence must be >= 1, got {sequence}")
+        if self.sequence is not None and not self.channels_last:
+            # sequence batches are raw (B, Tin, 6, n, n, C) windows consumed
+            # by the in-graph assembly of train/sequence.py, which is
+            # channels-last by contract; silently ignoring the flag would
+            # hand a channels-first consumer mislabeled axes
+            raise ValueError(
+                "channels_last=False is not supported in sequence mode "
+                "(sequence windows feed the in-graph channels-last assembly)"
+            )
         self._rng = np.random.default_rng(seed)
         # batch-assembly thread pool size; > 1 makes __iter__ delegate to
         # iter_batches (same delivery order — see its docstring)

@@ -109,12 +109,14 @@ class MemoryStore:
                 mean = lo.astype(np.float64)
                 std = (hi - lo).astype(np.float64)
             elif scaler == "robust":
+                # feed the f32 array directly — an .astype(np.float64) here
+                # transiently tripled host memory on multi-GB stores for no
+                # statistical gain (percentiles of f32 data are f32-exact)
                 q = np.nanpercentile(
-                    fields.astype(np.float64), [25.0, 50.0, 75.0],
-                    axis=(0, 1, 2, 3),
+                    fields, [25.0, 50.0, 75.0], axis=(0, 1, 2, 3)
                 )
-                mean = q[1]
-                std = q[2] - q[0]
+                mean = q[1].astype(np.float64)
+                std = (q[2] - q[0]).astype(np.float64)
             elif scaler == "maxabs":
                 # sklearn MaxAbsScaler parity: x / max|x|, center untouched
                 mean = np.zeros(fields.shape[-1], np.float64)

@@ -23,8 +23,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dlwp_cs_tpu.data.channels import pack_inputs, unfold_time
-from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS, insolation
+from dlwp_cs_tpu.data.channels import (
+    advance_window,
+    make_input_insolation,
+    pack_inputs,
+)
+from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS
 from dlwp_cs_tpu.models.config import DataConfig
 
 __all__ = ["Forecast", "TimeSeriesEstimator", "make_rollout_fn"]
@@ -94,23 +98,12 @@ def make_rollout_fn(
     if constants is not None:
         constants = jnp.asarray(constants)
 
-    def input_insolation(t_days):
-        """Normalized insolation channels for the input window ending at t.
-
-        ``t_days`` may be a scalar (shared init time) or a ``(B,)`` vector of
-        per-batch-member init times; the returned channels are ``(T_in, 6, n,
-        n)`` or ``(B, T_in, 6, n, n)`` respectively (both accepted by
-        :func:`pack_inputs`).
-        """
-        if not data_cfg.add_insolation:
-            return None
-        offsets = (jnp.arange(t_in) - (t_in - 1)) * dt_days
-        if t_days.ndim == 0:
-            times = t_days + offsets  # (T_in,)
-        else:
-            times = t_days[:, None] + offsets[None, :]  # (B, T_in)
-        ins = insolation(times[..., None, None, None], lat, lon)
-        return (ins - insol_mean) / insol_std
+    # the SAME forcing-clock and window-rewiring definitions as the
+    # autoregressive training loss (data/channels.py) — train/inference
+    # consistency is structural, not by parallel maintenance
+    input_insolation = make_input_insolation(
+        data_cfg, lat, lon, insol_mean, insol_std
+    )
 
     def rollout(params, window, t0_days) -> Forecast:
         if window.ndim != 6 or window.shape[1] != t_in:
@@ -136,8 +129,7 @@ def make_rollout_fn(
             window, t_days = carry
             inputs = pack_inputs(window, input_insolation(t_days), constants)
             out = apply_fn(params, inputs)
-            out_window = unfold_time(out, t_out)  # (B, T_out, 6, n, n, C)
-            new_window = jnp.concatenate([window, out_window], axis=1)[:, -t_in:]
+            new_window, out_window = advance_window(window, out, t_out)
             return (new_window, t_days + t_out * dt_days), out_window
 
         (_, _), outs = lax.scan(

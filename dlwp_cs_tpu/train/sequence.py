@@ -19,8 +19,12 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-from dlwp_cs_tpu.data.channels import pack_inputs, unfold_time
-from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS, insolation
+from dlwp_cs_tpu.data.channels import (
+    advance_window,
+    make_input_insolation,
+    pack_inputs,
+)
+from dlwp_cs_tpu.geometry.insolation import INSOLATION_PERIOD_DAYS
 from dlwp_cs_tpu.models.config import DataConfig
 from dlwp_cs_tpu.train.train_step import TrainState
 
@@ -49,23 +53,19 @@ def make_sequence_loss(
     ``t0_days``: (B,) valid time of the last input step;
     ``targets``: (B, sequence, 6, n, n, T_out*C) folded target windows.
     """
-    t_in = data_cfg.input_time_steps
     t_out = data_cfg.output_time_steps
     dt_days = data_cfg.step_hours / 24.0
-    lat = jnp.asarray(lat)
-    lon = jnp.asarray(lon)
     if constants is not None:
         constants = jnp.asarray(constants)
     if loss_fn is None:
         loss_fn = lambda p, t: jnp.mean(jnp.square(p - t))
 
-    def input_insolation(t_days):
-        if not data_cfg.add_insolation:
-            return None
-        offsets = (jnp.arange(t_in) - (t_in - 1)) * dt_days
-        times = t_days[:, None] + offsets[None, :]  # (B, T_in)
-        ins = insolation(times[..., None, None, None], lat, lon)
-        return (ins - insol_mean) / insol_std
+    # the SAME forcing-clock and window-rewiring definitions as the
+    # inference rollout (data/channels.py) — the train/inference
+    # consistency contract is structural, not by parallel maintenance
+    input_insolation = make_input_insolation(
+        data_cfg, lat, lon, insol_mean, insol_std
+    )
 
     def loss(params, window, t0_days, targets):
         if targets.shape[1] != sequence:
@@ -80,8 +80,7 @@ def make_sequence_loss(
             inputs = pack_inputs(window, input_insolation(t_days), constants)
             out = apply_fn(params, inputs)  # (B, 6, n, n, T_out*C)
             step_loss = loss_fn(out, target)
-            out_window = unfold_time(out, t_out)
-            new_window = jnp.concatenate([window, out_window], axis=1)[:, -t_in:]
+            new_window, _ = advance_window(window, out, t_out)
             return (new_window, t_days + t_out * dt_days), step_loss
 
         # scan over the sequence axis of targets; the clock drives only

@@ -322,10 +322,14 @@ class Trainer:
             # We keep the device handles and fetch in ONE device_get every
             # `metrics_every` steps / at epoch end, so the host stays ahead.
             pending: list[tuple[int, Any, float, float]] = []
+            # optimizer STEPS buffered since the last flush: a fused entry
+            # carries fused_steps of them, so counting len(pending) would
+            # stretch the configured cadence by fused_steps x
+            pending_steps = 0
             t_flush = time.perf_counter()
 
             def flush():
-                nonlocal t_flush
+                nonlocal t_flush, pending_steps
                 if not pending:
                     return
                 fetched = jax.device_get([m for _, m, _, _ in pending])
@@ -363,6 +367,7 @@ class Trainer:
                         self.history.steps.append(rec)
                         self._log(rec)
                 pending.clear()
+                pending_steps = 0
                 t_flush = time.perf_counter()
 
             it = iter(_epoch_iter(train_data))
@@ -399,6 +404,7 @@ class Trainer:
                     dispatch_s = time.perf_counter() - t_step
                     pending.append((gstep, metrics, dispatch_s, data_wait))
                     gstep += len(chunk)
+                    pending_steps += len(chunk)
                 else:
                     for inputs, targets in chunk:
                         if self.mesh is not None:
@@ -412,11 +418,12 @@ class Trainer:
                         dispatch_s = time.perf_counter() - t_step
                         pending.append((gstep, metrics, dispatch_s, data_wait))
                         gstep += 1
+                        pending_steps += 1
                         data_wait = 0.0
                 if profiling and gstep > self.profile_steps[1]:
                     jax.profiler.stop_trace()
                     profiling = False
-                if len(pending) >= metrics_every:
+                if pending_steps >= metrics_every:
                     flush()
             flush()
             train_loss = float(np.mean(losses)) if losses else float("nan")

@@ -347,6 +347,28 @@ class TestPrefetch:
             for _ in it:
                 pass
 
+    def test_close_depth1_releases_worker(self):
+        """Round 5: at depth=1, close() used to race the worker's
+        just-unblocked put — the refilled single-slot queue left the
+        finally-clause sentinel put blocked forever (leaked thread +
+        pinned device batch)."""
+        import time
+
+        from dlwp_cs_tpu.data.prefetch import PrefetchIterator
+
+        for _ in range(5):  # the race needs a few shots
+            it = PrefetchIterator(
+                iter([(np.full((2,), i),) for i in range(50)]), depth=1
+            )
+            next(it)  # worker now blocked in put() of the next batch
+            it.close()
+            deadline = time.monotonic() + 10.0
+            while it._thread.is_alive() and time.monotonic() < deadline:
+                time.sleep(0.01)
+            assert not it._thread.is_alive(), "prefetch worker leaked"
+            with pytest.raises(StopIteration):
+                next(it)  # exhausted-iterator contract survives close()
+
 
 class TestPreprocessor:
     def test_end_to_end_store_build(self, tmp_path):

@@ -131,6 +131,25 @@ class TestReadNetcdf:
         with pytest.raises(KeyError):
             read_netcdf_var(p, "nope")
 
+    def test_missing_value_attr_masked(self, tmp_path):
+        """Round 5: files converted via wgrib2/CDO mark gaps with CF
+        `missing_value` (no `_FillValue`) — unmasked packed fills would
+        pass through scale/offset as plausible extreme values."""
+        import h5py
+
+        p = tmp_path / "mv.nc"
+        data = np.arange(12.0).reshape(3, 4)
+        stored = data.copy()
+        stored[1, 2] = -9999.0
+        with h5py.File(p, "w") as f:
+            ds = f.create_dataset("z", data=stored)
+            ds.attrs["missing_value"] = np.float64(-9999.0)
+        out = read_netcdf_var(p, "z")
+        assert np.isnan(out[1, 2])
+        mask = np.ones_like(data, bool)
+        mask[1, 2] = False
+        np.testing.assert_allclose(out[mask], data[mask])
+
 
 class TestReadFile:
     def test_legacy_schema(self, tmp_path):

@@ -259,3 +259,15 @@ def test_unsupported_template_rejected(tmp_path):
     p.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="5.4"):
         read_grib2(p)
+
+
+def test_zero_section_length_rejected(tmp_path):
+    """Round 5: a zeroed section-length field must raise, not spin forever
+    (pos += 0 never advanced the section scan)."""
+    f, lat, lon = _field()
+    raw = bytearray(encode_grib2(f, lat, lon, template=0))
+    raw[16:20] = (0).to_bytes(4, "big")  # first section's length -> 0
+    p = tmp_path / "zerolen.grb2"
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="corrupt GRIB2 section"):
+        read_grib2(p)

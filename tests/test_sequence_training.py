@@ -71,6 +71,14 @@ class TestSequenceDataset:
         with pytest.raises(ValueError):
             SeriesDataset(_store(), DCFG, lat=lat, lon=lon, sequence=0)
 
+    def test_channels_first_rejected_in_sequence_mode(self):
+        """Round 5: the flag used to be silently ignored — sequence batches
+        came back channels-last regardless."""
+        lat, lon = _grid()
+        with pytest.raises(ValueError, match="channels_last"):
+            SeriesDataset(_store(), DCFG, lat=lat, lon=lon, sequence=2,
+                          channels_last=False)
+
 
 class TestSequenceTraining:
     def _setup(self, sequence=2):
