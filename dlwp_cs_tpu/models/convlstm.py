@@ -69,11 +69,13 @@ class _ConvLSTMCellBase(nn.Module):
         c_new = nn.sigmoid(f.astype(f32) + self.forget_bias) * c.astype(f32)
         c_new = c_new + nn.sigmoid(i.astype(f32)) * jnp.tanh(g.astype(f32))
         h_new = nn.sigmoid(o.astype(f32)) * jnp.tanh(c_new)
-        h_new = h_new.astype(x.dtype)
-        # preserve the caller's carry dtype: lax.scan requires identical
-        # carry input/output avals, so a user-built bf16 initial_carry must
-        # come back bf16 (the f32 compute above is internal)
-        return (h_new, c_new.astype(c.dtype)), h_new
+        # preserve the caller's carry dtypes: lax.scan requires identical
+        # carry input/output avals, so a cell-dtype (e.g. bf16) h and the
+        # f32 c must each come back in their OWN dtype — casting h to
+        # x.dtype broke scan whenever cell dtype != input dtype.  The
+        # emitted output stays in the input dtype.
+        return (h_new.astype(h.dtype), c_new.astype(c.dtype)), \
+            h_new.astype(x.dtype)
 
     def initialize_carry(self, x_like):
         """Zero carry matching a step input ``x_like`` (spatial dims kept,

@@ -80,8 +80,15 @@ def _upsample(x, factor, method: str = "nearest"):
             flat, (flat.shape[0], h * factor, w * factor, c), method="bilinear"
         )
         return out.reshape(lead + (h * factor, w * factor, c))
-    x = jnp.repeat(x, factor, axis=-3)
-    return jnp.repeat(x, factor, axis=-2)
+    # broadcast+reshape, not jnp.repeat: repeat lowers to a gather whose
+    # VJP is a serializing TPU scatter (the same reason ops/pooling
+    # .cs_upsample uses this formulation); broadcast's VJP is a reduce
+    h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
+    lead = x.shape[:-3]
+    out = jnp.broadcast_to(
+        x[..., :, None, :, None, :], lead + (h, factor, w, factor, c)
+    )
+    return out.reshape(lead + (h * factor, w * factor, c))
 
 
 class LatLonUNet(nn.Module):

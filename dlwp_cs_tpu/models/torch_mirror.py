@@ -138,6 +138,13 @@ class TorchCubeSphereConv2D:
         kh, kw = self.kernel_eq.shape[:2]
         w = (max(kh, kw) - 1) // 2
         xp = torch_cs_pad(x, w) if w else x
+        # non-square kernels: crop the surplus halo per axis so VALID conv
+        # keeps the 'same' output shape (mirrors ops/conv.py)
+        wy, wx = (kh - 1) // 2, (kw - 1) // 2
+        if wy < w:
+            xp = xp[:, :, w - wy : xp.shape[2] - (w - wy)]
+        if wx < w:
+            xp = xp[:, :, :, w - wx : xp.shape[3] - (w - wx)]
         b, _, hp, wp, c = xp.shape
 
         def group(faces, kernel, bias):

@@ -208,6 +208,15 @@ def cs_conv(
         xp = x  # 1x1 conv: no halo needed
     else:
         xp = cs_pad(x, w)
+        # non-square kernels (e.g. 3x1): cs_pad adds the max halo on both
+        # axes, but the VALID conv only consumes (k-1) ghosts per axis —
+        # crop the surplus so the 'same' output-shape contract holds
+        wy = (kh - 1) // 2 * dilation
+        wx = (kw - 1) // 2 * dilation
+        if wy < w:
+            xp = xp[:, :, w - wy : xp.shape[2] - (w - wy)]
+        if wx < w:
+            xp = xp[:, :, :, w - wx : xp.shape[3] - (w - wx)]
     # contiguous slices, not fancy indexing: a list-index lowers to a gather
     # whose VJP is a scatter (slow on TPU); a slice's VJP is a pad.
     assert EQUATORIAL_FACES == (0, 1, 2, 3) and POLAR_FACES == (4, 5)

@@ -34,30 +34,41 @@ def periodic_pad(x, width, lat_mode: str = "symmetric"):
     w_lat, w_lon = (width, width) if isinstance(width, int) else width
     if w_lat < 0 or w_lon < 0 or (w_lat == 0 and w_lon == 0):
         raise ValueError(f"invalid pad widths {(w_lat, w_lon)}")
-    # Longitude: wrap.
+    # Latitude FIRST, on the un-wrapped array: the 'polar' half-longitude
+    # roll is defined on the ORIGINAL W columns — rolling an already
+    # lon-wrapped row by its padded half-width produced misaligned,
+    # duplicated seam cells (round-5 fix; regression in tests/test_latlon).
+    if w_lat:
+        if lat_mode in ("symmetric", "reflect"):  # 'reflect' alias kept
+            top = jnp.flip(x[..., :w_lat, :, :], axis=-3)
+            bot = jnp.flip(x[..., -w_lat:, :, :], axis=-3)
+            x = jnp.concatenate([top, x, bot], axis=-3)
+        elif lat_mode == "polar":
+            n_lon = x.shape[-2]
+            if n_lon % 2:
+                raise ValueError(
+                    "lat_mode='polar' requires an even lon count"
+                )
+            top = jnp.roll(
+                jnp.flip(x[..., :w_lat, :, :], axis=-3), n_lon // 2, axis=-2
+            )
+            bot = jnp.roll(
+                jnp.flip(x[..., -w_lat:, :, :], axis=-3), n_lon // 2, axis=-2
+            )
+            x = jnp.concatenate([top, x, bot], axis=-3)
+        elif lat_mode == "zero":
+            cfg = [(0, 0)] * (x.ndim - 3) + [(w_lat, w_lat), (0, 0), (0, 0)]
+            x = jnp.pad(x, cfg)
+        else:
+            raise ValueError(f"unknown lat_mode {lat_mode!r}")
+    elif lat_mode not in ("symmetric", "reflect", "polar", "zero"):
+        raise ValueError(f"unknown lat_mode {lat_mode!r}")
+    # Longitude: wrap (includes the just-added ghost rows).
     if w_lon:
         x = jnp.concatenate(
             [x[..., :, -w_lon:, :], x, x[..., :, :w_lon, :]], axis=-2
         )
-    if w_lat == 0:
-        return x
-    if lat_mode in ("symmetric", "reflect"):  # 'reflect' kept as an alias
-        top = jnp.flip(x[..., :w_lat, :, :], axis=-3)
-        bot = jnp.flip(x[..., -w_lat:, :, :], axis=-3)
-        return jnp.concatenate([top, x, bot], axis=-3)
-    if lat_mode == "polar":
-        n_lon = x.shape[-2]
-        if n_lon % 2:
-            raise ValueError("lat_mode='polar' requires an even lon count")
-        top = jnp.roll(jnp.flip(x[..., :w_lat, :, :], axis=-3), n_lon // 2,
-                       axis=-2)
-        bot = jnp.roll(jnp.flip(x[..., -w_lat:, :, :], axis=-3), n_lon // 2,
-                       axis=-2)
-        return jnp.concatenate([top, x, bot], axis=-3)
-    if lat_mode == "zero":
-        cfg = [(0, 0)] * (x.ndim - 3) + [(w_lat, w_lat), (0, 0), (0, 0)]
-        return jnp.pad(x, cfg)
-    raise ValueError(f"unknown lat_mode {lat_mode!r}")
+    return x
 
 
 def latlon_conv(x, kernel, *, bias=None, stride: int = 1,

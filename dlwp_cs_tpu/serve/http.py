@@ -100,6 +100,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "batches": st.batches,
                 "mean_batch": st.mean_batch,
                 "padded_members": st.padded_members,
+                "padded_mesh": st.padded_mesh,
                 "device_seconds": st.device_seconds,
             }
             return self._reply_json(200, payload)

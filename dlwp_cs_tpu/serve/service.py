@@ -60,7 +60,13 @@ class ServiceStats:
 
     requests: int = 0
     batches: int = 0
+    # batcher bucket padding (requests repeated to fill the power-of-two
+    # micro-batch bucket) — one consistent meaning across all paths
     padded_members: int = 0
+    # mesh data-axis divisibility padding (windows repeated so the rollout
+    # batch divides the mesh's data axis); distinct from bucket padding so
+    # the two pad kinds are never conflated in capacity monitoring
+    padded_mesh: int = 0
     device_seconds: float = 0.0
 
     @property
@@ -561,6 +567,7 @@ class ForecastService(MicroBatcher):
         fc = fc._replace(init_times=np.asarray(fc.init_times)[:b])
         with self._lock:
             self.stats.device_seconds += time.perf_counter() - t0_wall
+            self.stats.padded_mesh += pad
         if not normalized:
             fields = fields * self._std + self._mean
         return fc._replace(fields=fields)
@@ -660,7 +667,7 @@ class ForecastService(MicroBatcher):
         fc = fc._replace(init_times=np.asarray(fc.init_times)[:b])
         with self._lock:
             self.stats.device_seconds += time.perf_counter() - t0_wall
-            self.stats.padded_members += pad
+            self.stats.padded_mesh += pad
         if not normalized:
             mean = mean * self._std + self._mean
             spread = spread * self._std  # scale-only: spread has no offset

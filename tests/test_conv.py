@@ -146,6 +146,45 @@ class TestLatLon:
         out = latlon_conv(x, k)
         assert out.shape == (2, 8, 16, 5)
 
+    def test_polar_ghost_row_alignment(self):
+        """Round 5: the over-pole ghost row is the boundary row rolled by
+        half the ORIGINAL longitudes — rolling after the lon wrap produced
+        duplicated/misaligned seam cells."""
+        W = 8
+        x = jnp.asarray(np.arange(W, dtype=np.float32).reshape(1, 1, W, 1))
+        x = jnp.concatenate([x, x + 10.0], axis=1)  # H=2
+        p = np.asarray(periodic_pad(x, (1, 1), lat_mode="polar"))[0, :, :, 0]
+        # top ghost: row 0 ([0..7]) rolled by W//2 = [4,5,6,7,0,1,2,3],
+        # then lon-wrapped
+        np.testing.assert_array_equal(
+            p[0], [3, 4, 5, 6, 7, 0, 1, 2, 3, 4]
+        )
+        np.testing.assert_array_equal(
+            p[-1], np.asarray([3, 4, 5, 6, 7, 0, 1, 2, 3, 4]) + 10.0
+        )
+
+    def test_nonsquare_kernel_same_shape(self):
+        """Round 5: cs_conv padded BOTH axes by the max halo, so a 3x1
+        kernel emitted (n, n+2) outputs, breaking the 'same' contract."""
+        x = _rand((1, 6, 8, 8, 2), seed=44)
+        k31 = _rand((3, 1, 2, 4), seed=45)
+        k13 = _rand((1, 3, 2, 4), seed=46)
+        assert cs_conv(x, k31, k31, backend="xla").shape == (1, 6, 8, 8, 4)
+        assert cs_conv(x, k13, k13, backend="xla").shape == (1, 6, 8, 8, 4)
+        # interior values must match a plain VALID conv on the raw faces
+        from jax import lax
+
+        got = np.asarray(cs_conv(x, k31, k31, backend="xla"))
+        ref = np.asarray(
+            lax.conv_general_dilated(
+                jnp.asarray(np.asarray(x)[0]), k31, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        )
+        np.testing.assert_allclose(
+            got[0, :4, 1:-1, :], ref[:4], rtol=1e-5, atol=1e-5
+        )
+
 
 class TestLosses:
     def test_weighted_mse_constant_weights_is_mse(self):

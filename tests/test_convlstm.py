@@ -51,6 +51,18 @@ class TestCell:
         # zero carry + nonzero input must move the state
         assert float(jnp.abs(h).max()) > 0
 
+    def test_cell_dtype_differs_from_input_dtype(self):
+        """Round 5: h_new was cast to x.dtype for the carry, so a bf16-cell
+        scan over f32 inputs raised lax.scan's carry-dtype mismatch."""
+        cell = CubeSphereConvLSTMCell(features=4, dtype=jnp.bfloat16)
+        x = _seq()[:, 0]  # float32 step input
+        carry0 = cell.initialize_carry(x)
+        params = cell.init(jax.random.PRNGKey(0), carry0, x)
+        (h, c), out = cell.apply(params, carry0, x)
+        assert h.dtype == carry0[0].dtype == jnp.bfloat16
+        assert c.dtype == carry0[1].dtype
+        assert out.dtype == x.dtype
+
     def test_latlon_cell(self):
         cell = LatLonConvLSTMCell(features=3)
         x = jnp.asarray(
