@@ -26,7 +26,9 @@ from dlwp_cs_tpu.data.era5 import cf_time_to_epoch_days, read_netcdf_var
 
 __all__ = ["CFSReanalysis", "CFSReforecast"]
 
-_NOMADS = "https://nomads.ncep.noaa.gov/pub/data/nccf/cfsr"
+# Alternative mirror for recent data — pass as ``base_url=NOMADS`` (the
+# NCEI archive below is the default; it carries the full record).
+NOMADS = "https://nomads.ncep.noaa.gov/pub/data/nccf/cfsr"
 _NCDC = "https://www.ncei.noaa.gov/data/climate-forecast-system"
 
 

@@ -67,8 +67,20 @@ class DLWPEstimator:
         # step_hours; training windows stride the store by interval.  A
         # mismatch (e.g. a 3-hourly store with default step_hours=6 and
         # interval=1) silently phase-shifts the forcing and mislabels leads.
-        if ds.dt_days > 0:
-            eff_hours = ds.dt_days * 24.0
+        self._check_store_spacing(store)
+        return ds
+
+    def _check_store_spacing(self, store):
+        """The same interval x step_hours guard ``_dataset`` applies at
+        training time: a mismatched store fed to ``forecast``/
+        ``forecast_lagged`` would silently phase-shift the insolation
+        forcing and mislabel ``lead_hours``."""
+        times = np.asarray(store.times, np.float64)
+        dt = np.diff(times)
+        if len(dt) and not np.allclose(dt, dt[0], rtol=1e-6):
+            raise ValueError("store times are not uniformly spaced")
+        if len(dt):
+            eff_hours = float(dt[0]) * self.config.data.interval * 24.0
             if abs(eff_hours - self.config.data.step_hours) > 1e-6:
                 raise ValueError(
                     f"store spacing x interval = {eff_hours:g} h per model "
@@ -76,7 +88,18 @@ class DLWPEstimator:
                     f"{self.config.data.step_hours:g} — set interval/"
                     "step_hours so they agree"
                 )
-        return ds
+
+    def _norm_fn(self, store):
+        """Window normalizer: ``(x - mean)/std``, or identity for a
+        pre-normalized training cache (``attrs['normalized']`` — the
+        contract :class:`~dlwp_cs_tpu.data.SeriesDataset` honors at fit
+        time; applying the stats again here would silently double-normalize
+        the forecast inputs)."""
+        if getattr(store, "attrs", {}).get("normalized"):
+            return lambda x: np.asarray(x, np.float32)
+        mean = np.asarray(self.stats["mean"], np.float32)
+        std = np.asarray(self.stats["std"], np.float32)
+        return lambda x: (np.asarray(x, np.float32) - mean) / std
 
     def _capture_stats(self, store, ds: SeriesDataset) -> None:
         self.stats = {
@@ -133,8 +156,8 @@ class DLWPEstimator:
         dcfg = self.config.data
         t_in = dcfg.input_time_steps
         iv = dcfg.interval
-        mean = np.asarray(self.stats["mean"], np.float32)
-        std = np.asarray(self.stats["std"], np.float32)
+        self._check_store_spacing(store)
+        norm = self._norm_fn(store)
         init_indices = np.asarray(init_indices)
         need = (t_in - 1) * iv
         if np.any(init_indices < need):
@@ -144,16 +167,13 @@ class DLWPEstimator:
                 f"a {t_in}-step input window at interval {iv}"
             )
         windows = np.stack(
-            [
-                (np.asarray(store.fields[i - need : i + 1 : iv]) - mean) / std
-                for i in init_indices
-            ]
+            [norm(store.fields[i - need : i + 1 : iv]) for i in init_indices]
         )
         constants = None
         if store.constants is not None and len(dcfg.constants):
-            names = list(store.constant_names)
-            idx = [names.index(c) for c in dcfg.constants]
-            constants = np.asarray(store.constants)[..., idx]
+            from dlwp_cs_tpu.data.store import select_constants
+
+            constants = select_constants(store, dcfg.constants)
         lat, lon = self.cs.cell_latlon
         est = TimeSeriesEstimator(
             apply_fn=self.model.apply,
@@ -189,8 +209,8 @@ class DLWPEstimator:
         t_in = dcfg.input_time_steps
         iv = dcfg.interval
         lags = tuple(int(g) for g in lags)
-        mean = np.asarray(self.stats["mean"], np.float32)
-        std = np.asarray(self.stats["std"], np.float32)
+        self._check_store_spacing(store)
+        norm = self._norm_fn(store)
         init_indices = np.asarray(init_indices)
         need = (t_in - 1) * iv + max(lags) * iv
         if np.any(init_indices < need):
@@ -207,9 +227,7 @@ class DLWPEstimator:
             [
                 np.stack(
                     [
-                        (np.asarray(
-                            store.fields[i - g * iv - win : i - g * iv + 1 : iv]
-                        ) - mean) / std
+                        norm(store.fields[i - g * iv - win : i - g * iv + 1 : iv])
                         for g in lags
                     ]
                 )

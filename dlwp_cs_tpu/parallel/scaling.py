@@ -102,6 +102,11 @@ def measure_scaling(
                 x, y = shard_batch((x, y), mesh)
             else:
                 step = make_spatial_train_step(model.apply, opt, mse, mesh)
+                # pre-shard like the DP rows: otherwise every timed
+                # iteration includes the input reshard to
+                # P('data', None, 'spatial'), inflating exactly the
+                # spatial tiers this harness exists to evaluate
+                x, y = shard_batch((x, y), mesh, spatial=True)
             state = init_state(fresh, opt)
         gridpoints = b * 6 * n_grid * n_grid
         dt, gps = _throughput(step, state, x, y, iters=iters, gridpoints=gridpoints)

@@ -253,6 +253,15 @@ def sharded_model_ctx(
     if n_spatial_x > 1:
         from dlwp_cs_tpu.parallel.halo2d import make_sharded_pad_2d
 
+        if band_impl != "ppermute":
+            # the band-row transport is a 1-D concept; accepting and
+            # ignoring e.g. 'rdma' here would silently measure the wrong
+            # exchange
+            raise ValueError(
+                f"band_impl {band_impl!r} does not apply to the 2-D "
+                "row x column tiling (its exchange is parallel.halo2d); "
+                "leave it at the default 'ppermute'"
+            )
         pad2d = make_sharded_pad_2d(n_spatial, n_spatial_x)
         if band_conv in ("pallas", "pallas_interpret"):
             # 2-D fused tile conv (parallel.pallas_tile): every supported
@@ -287,6 +296,14 @@ def sharded_model_ctx(
 
     pad_impl = make_sharded_pad(n_spatial)
     if not overlap:
+        if band_conv != "ringfix":
+            # same silent-config hazard as the 2-D branch: without the
+            # overlap conv machinery no band conv is installed, so a
+            # non-default band_conv would be accepted and ignored
+            raise ValueError(
+                f"band_conv {band_conv!r} requires overlap=True (with "
+                "overlap=False every conv runs pad-then-VALID)"
+            )
 
         @contextlib.contextmanager
         def pad_ctx():

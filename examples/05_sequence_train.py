@@ -107,6 +107,11 @@ def main() -> int:
     params = model.init(__import__("jax").random.PRNGKey(0), x0)
     state = init_state(params, opt)
 
+    if len(ds) == 0:
+        raise SystemExit(
+            f"dataset yields no batches (batch_size {ds.batch_size} > "
+            f"{ds.n_samples} windows) — lower --batch"
+        )
     done = 0
     losses = []
     while done < args.steps:

@@ -57,6 +57,47 @@ class TestDLWPEstimator:
             np.asarray(fc.fields), np.asarray(fc2.fields), atol=1e-5
         )
 
+    def test_forecast_on_prenormalized_store_not_double_normalized(self):
+        """Round 5: forecast()/forecast_lagged() applied (x-mean)/std to a
+        pre-normalized training cache, double-normalizing the windows."""
+        from dlwp_cs_tpu.data.store import normalize_store
+
+        est = DLWPEstimator(_config())
+        raw = _store()
+        est.fit(raw, verbose=False)
+        cache = normalize_store(raw)
+        fc_raw = est.forecast(raw, init_indices=[5, 6], steps=2)
+        fc_cache = est.forecast(cache, init_indices=[5, 6], steps=2)
+        np.testing.assert_allclose(
+            np.asarray(fc_raw.fields), np.asarray(fc_cache.fields),
+            rtol=1e-4, atol=1e-5,
+        )
+        lg_raw = est.forecast_lagged(raw, init_indices=[8], steps=2,
+                                     lags=(0, 1))
+        lg_cache = est.forecast_lagged(cache, init_indices=[8], steps=2,
+                                       lags=(0, 1))
+        np.testing.assert_allclose(
+            np.asarray(lg_raw.mean), np.asarray(lg_cache.mean),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_forecast_rejects_mismatched_store_spacing(self):
+        """Round 5: the interval x step_hours guard now also runs on the
+        forecast path (a 3-hourly store fed to a 6-hourly model silently
+        phase-shifted the forcing)."""
+        est = DLWPEstimator(_config())
+        est.fit(_store(), verbose=False)
+        rng = np.random.default_rng(5)
+        bad = MemoryStore.from_raw(
+            rng.normal(size=(30, 6, N, N, 2)).astype(np.float32),
+            np.arange(30) * 0.125,  # 3-hourly vs step_hours=6
+            ("z500", "t2m"),
+            constants=rng.normal(size=(6, N, N, 1)).astype(np.float32),
+            constant_names=("topography",),
+        )
+        with pytest.raises(ValueError, match="step_hours"):
+            est.forecast(bad, init_indices=[5], steps=1)
+
     def test_forecast_before_fit_rejected(self):
         est = DLWPEstimator(_config())
         with pytest.raises(RuntimeError):

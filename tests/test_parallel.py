@@ -323,6 +323,17 @@ class TestOverlapConv:
                 np.asarray(a), np.asarray(b), atol=3e-5
             )
 
+    def test_silently_ignored_configs_rejected(self, eight_devices):
+        """Round 5: configs that used to be accepted-and-ignored must
+        raise — a run believing it measures the fused band kernel must
+        not silently measure pad-then-VALID."""
+        from dlwp_cs_tpu.parallel.sharding import sharded_model_ctx
+
+        with pytest.raises(ValueError, match="overlap=True"):
+            sharded_model_ctx(4, overlap=False, band_conv="pallas")
+        with pytest.raises(ValueError, match="band_impl"):
+            sharded_model_ctx(2, n_spatial_x=2, band_impl="rdma")
+
     def test_pad_variant_still_equivalent(self, eight_devices):
         # overlap=False pins the pad-materializing sharded path
         cfg = UNetConfig(output_channels=2, filters=(4, 8))
